@@ -1,0 +1,77 @@
+"""Host <-> device conversions between Python ints and limb arrays.
+
+The device representation is int32, shape (NUM_LIMBS, n), limb axis first,
+Montgomery form (see jnp_ops).  Host values are canonical Python ints.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .constants import LIMB_BITS, LIMB_MASK, NUM_LIMBS, FieldSpec
+
+B = LIMB_BITS
+NL = NUM_LIMBS
+
+
+def ints_to_limbs_np(vals, spec: FieldSpec, mont: bool = True) -> np.ndarray:
+    """Canonical python ints -> (NL, n) int32 limb array (host side).
+
+    If ``mont``, the values are converted to Montgomery form on the host
+    (cheap for small n; for bulk witness uploads prefer uploading canonical
+    limbs and calling FieldOps.to_mont on device).
+    """
+    p = spec.modulus
+    n = len(vals)
+    out = np.zeros((NL, n), dtype=np.int32)
+    if mont:
+        R = 1 << (B * NL)
+        for k, v in enumerate(vals):
+            v = (int(v) % p) * R % p
+            for i in range(NL):
+                out[i, k] = v & LIMB_MASK
+                v >>= B
+    else:
+        for k, v in enumerate(vals):
+            v = int(v) % p
+            for i in range(NL):
+                out[i, k] = v & LIMB_MASK
+                v >>= B
+    return out
+
+
+def small_ints_to_limbs_np(vals: np.ndarray) -> np.ndarray:
+    """uint64-safe numpy ints -> (NL, n) canonical limb array, vectorized.
+
+    Fast path for witness vectors that are mostly bits/small (the reference's
+    `is_small` hint, src/r1cs/mod.rs:186-189).  Caller converts to Montgomery
+    form on device.
+    """
+    v = np.asarray(vals, dtype=np.uint64)
+    n = v.shape[0]
+    out = np.zeros((NL, n), dtype=np.int32)
+    for i in range(6):  # 6 limbs cover 64 bits (6*12 = 72)
+        out[i] = ((v >> np.uint64(B * i)) & np.uint64(LIMB_MASK)).astype(np.int32)
+    return out
+
+
+def limbs_to_ints(arr, spec: FieldSpec | None = None, mont: bool = True) -> list[int]:
+    """(NL, n) limb array (numpy or jax) -> canonical python ints."""
+    a = np.asarray(arr)
+    if a.ndim == 1:
+        a = a[:, None]
+    n = a.shape[1]
+    vals = []
+    for k in range(n):
+        v = 0
+        for i in range(NL - 1, -1, -1):
+            v = (v << B) | int(a[i, k])
+        vals.append(v)
+    if mont:
+        assert spec is not None
+        p = spec.modulus
+        Rinv = pow(1 << (B * NL), -1, p)
+        vals = [v * Rinv % p for v in vals]
+    elif spec is not None:
+        vals = [v % spec.modulus for v in vals]
+    return vals

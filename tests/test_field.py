@@ -1,0 +1,198 @@
+"""Field-arithmetic kernels vs Python-int ground truth.
+
+Mirrors the reference's macro-generated property suites
+(test_field_reduction_constants!/test_montgomery!/test_delayed_reduction!,
+src/big_num/*.rs) for the 22x12-bit TPU limb scheme.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from spartan2_tpu.field.constants import get_field, LIMB_BITS, NUM_LIMBS, R
+from spartan2_tpu.field.jnp_ops import FieldOps, limbs_to_bytes, bytes_to_limbs
+from spartan2_tpu.field.limbs import ints_to_limbs_np, limbs_to_ints
+
+# Distinct moduli only (vesta_scalar == pallas_base, t256_scalar == p256_base
+# are the same FieldSpec constants by cycle structure).  The full matrix runs
+# under SPARTAN_TPU_ALL_FIELDS=1; default CI covers one scalar + one base
+# field to keep XLA compile time in check.
+import os as _os
+
+if _os.environ.get("SPARTAN_TPU_ALL_FIELDS"):
+    FIELDS = ["pallas_scalar", "pallas_base", "p256_scalar", "p256_base",
+              "bn254_scalar", "bn254_base", "t256_base"]
+else:
+    FIELDS = ["pallas_scalar", "p256_base"]
+
+
+def rand_elems(spec, n, seed=0):
+    rng = np.random.default_rng(seed)
+    return [int.from_bytes(rng.bytes(40), "little") % spec.modulus for _ in range(n)]
+
+
+@pytest.fixture(scope="module", params=FIELDS)
+def fctx(request):
+    spec = get_field(request.param)
+    return spec, FieldOps(spec)
+
+
+def test_constants(fctx):
+    spec, _ = fctx
+    p = spec.modulus
+    assert (spec.mont_inv * p + 1) % (1 << LIMB_BITS) == 0
+    assert spec.r_mod == R % p
+    assert spec.r2_mod == R * R % p
+    assert sum(l << (LIMB_BITS * i) for i, l in enumerate(spec.p_limbs)) == p
+
+
+def test_roundtrip_conversion(fctx):
+    spec, _ = fctx
+    vals = rand_elems(spec, 17)
+    arr = ints_to_limbs_np(vals, spec, mont=True)
+    back = limbs_to_ints(arr, spec, mont=True)
+    assert back == vals
+
+
+def test_add_sub_mul(fctx):
+    spec, ops = fctx
+    p = spec.modulus
+    n = 64
+    a = rand_elems(spec, n, seed=1)
+    b = rand_elems(spec, n, seed=2)
+    da = jnp.asarray(ints_to_limbs_np(a, spec))
+    db = jnp.asarray(ints_to_limbs_np(b, spec))
+
+    s = limbs_to_ints(ops.add(da, db), spec)
+    assert s == [(x + y) % p for x, y in zip(a, b)]
+
+    d = limbs_to_ints(ops.sub(da, db), spec)
+    assert d == [(x - y) % p for x, y in zip(a, b)]
+
+    m = limbs_to_ints(ops.mont_mul(da, db), spec)
+    assert m == [x * y % p for x, y in zip(a, b)]
+
+    ng = limbs_to_ints(ops.neg(da), spec)
+    assert ng == [(-x) % p for x in a]
+
+
+def test_mul_edge_cases(fctx):
+    spec, ops = fctx
+    p = spec.modulus
+    vals = [0, 1, 2, p - 1, p - 2, p // 2, 1, 0]
+    other = [p - 1, p - 1, p - 2, p - 1, 5, p // 2 + 1, 0, 0]
+    da = jnp.asarray(ints_to_limbs_np(vals, spec))
+    db = jnp.asarray(ints_to_limbs_np(other, spec))
+    m = limbs_to_ints(ops.mont_mul(da, db), spec)
+    assert m == [x * y % p for x, y in zip(vals, other)]
+
+
+def test_loose_domain_closure(fctx):
+    """Repeated ops keep limbs normalized and values < 2p."""
+    spec, ops = fctx
+    p = spec.modulus
+    a = rand_elems(spec, 8, seed=3)
+    d = jnp.asarray(ints_to_limbs_np(a, spec))
+    for _ in range(4):
+        d = ops.mont_mul(ops.add(d, d), ops.sub(d, ops.double(d)))
+    arr = np.asarray(d)
+    assert arr.max() < (1 << LIMB_BITS)
+    assert arr.min() >= 0
+    raw = limbs_to_ints(arr, spec=None, mont=False)
+    assert max(raw) < 2 * p
+
+
+def test_inv_and_pow(fctx):
+    spec, ops = fctx
+    p = spec.modulus
+    a = rand_elems(spec, 5, seed=4)
+    da = jnp.asarray(ints_to_limbs_np(a, spec))
+    iv = limbs_to_ints(ops.inv(da), spec)
+    assert iv == [pow(x, -1, p) for x in a]
+    sq = limbs_to_ints(ops.pow_const(da, 5), spec)
+    assert sq == [pow(x, 5, p) for x in a]
+
+
+def test_batch_inv(fctx):
+    spec, ops = fctx
+    p = spec.modulus
+    a = rand_elems(spec, 9, seed=5)
+    a[3] = 0  # zero maps to zero
+    da = jnp.asarray(ints_to_limbs_np(a, spec))
+    iv = limbs_to_ints(ops.batch_inv(da), spec)
+    expect = [pow(x, -1, p) if x else 0 for x in a]
+    assert iv == expect
+
+
+def test_from_uniform(fctx):
+    spec, ops = fctx
+    rng = np.random.default_rng(7)
+    raw = rng.integers(0, 256, size=(64, 11), dtype=np.uint8)
+    out = ops.from_uniform_bytes(jnp.asarray(raw))
+    got = limbs_to_ints(out, spec, mont=True)
+    expect = [spec.from_uniform(bytes(raw[:, k])) for k in range(11)]
+    assert got == expect
+
+
+def test_acc_delayed_reduction(fctx):
+    """Sum of 100 products == plain field sum (mirrors test_delayed_reduction!)."""
+    spec, ops = fctx
+    p = spec.modulus
+    n = 100
+    a = rand_elems(spec, n, seed=8)
+    b = rand_elems(spec, n, seed=9)
+    da = jnp.asarray(ints_to_limbs_np(a, spec))
+    db = jnp.asarray(ints_to_limbs_np(b, spec))
+
+    def run(da, db):
+        acc = ops.acc_new(())
+        for i in range(n):
+            acc = ops.acc_mul_add(acc, da[:, i], db[:, i])
+        return ops.acc_reduce(acc)
+
+    got = limbs_to_ints(run(da, db), spec)[0]
+    assert got == sum(x * y for x, y in zip(a, b)) % p
+
+
+def test_acc_batched_then_sum(fctx):
+    """Accumulate columns over a batch axis then integer-sum across lanes."""
+    spec, ops = fctx
+    p = spec.modulus
+    n = 256
+    a = rand_elems(spec, n, seed=10)
+    b = rand_elems(spec, n, seed=11)
+    da = jnp.asarray(ints_to_limbs_np(a, spec))
+    db = jnp.asarray(ints_to_limbs_np(b, spec))
+    acc = ops.acc_new((n,))
+    acc = ops.acc_mul_add(acc, da, db)
+    # reduce across batch: integer sum per column is safe (cols < 2^17, n=256)
+    acc = [c.sum(axis=-1) for c in acc]
+    got = limbs_to_ints(ops.acc_reduce(acc), spec)[0]
+    assert got == sum(x * y for x, y in zip(a, b)) % p
+
+
+def test_bytes_roundtrip(fctx):
+    spec, ops = fctx
+    vals = rand_elems(spec, 13, seed=12)
+    da = jnp.asarray(ints_to_limbs_np(vals, spec))
+    canon = ops.from_mont(da)
+    by = limbs_to_bytes(canon, 32)
+    for k, v in enumerate(vals):
+        assert bytes(np.asarray(by[:, k])) == spec.to_bytes(v)
+    # reverse direction
+    back = jnp.stack(bytes_to_limbs(by, NUM_LIMBS))
+    vals_back = limbs_to_ints(back, spec, mont=False)
+    assert vals_back == vals
+
+
+def test_is_zero_eq(fctx):
+    spec, ops = fctx
+    p = spec.modulus
+    vals = [0, 1, p - 1, 0]
+    da = jnp.asarray(ints_to_limbs_np(vals, spec))
+    z = np.asarray(ops.is_zero(da))
+    assert z.tolist() == [True, False, False, True]
+    db = jnp.asarray(ints_to_limbs_np([0, 2, p - 1, 5], spec))
+    e = np.asarray(ops.eq(da, db))
+    assert e.tolist() == [True, False, True, False]
