@@ -7,10 +7,15 @@ and kept in the *loose* range [0, 2p) with every limb < 2^12.
 
 This module is the TPU-native replacement for the reference's L1 field
 kernels (src/big_num/limbs.rs, montgomery.rs, delayed_reduction.rs): the
-BMI2/ADX 4x64 multiply-accumulate becomes an unrolled 22x22 schoolbook of
-int32 vector multiplies, and the 576-bit delayed-reduction accumulator
-becomes a 45-column int32 accumulator with a parallel carry step per
-product (see WideAcc).
+BMI2/ADX 4x64 multiply-accumulate becomes a 22-step slice-accumulate of
+int32 vector multiplies (one fused multiply-add over the whole batch per
+limb), and the 576-bit delayed-reduction accumulator becomes a 46-column
+int32 accumulator with a parallel carry step per product.
+
+Graph-size note: product columns and REDC are expressed as `at[i:i+NL].add`
+updates on a (columns, batch) array rather than fully unrolled scalar limb
+arithmetic — ~10x fewer HLO ops, which keeps XLA compile times sane for
+the fused per-round sum-check kernels.
 
 Everything here is pure JAX and jit-safe; it runs identically on CPU
 (tests) and TPU (production).
@@ -22,12 +27,15 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .constants import LIMB_BITS, LIMB_MASK, NUM_LIMBS, R_BITS, FieldSpec
+from .constants import LIMB_BITS, LIMB_MASK, NUM_LIMBS, FieldSpec
 
 B = LIMB_BITS
 NL = NUM_LIMBS
 MASK = LIMB_MASK
 I32 = jnp.int32
+
+# Max columns a wide accumulator may hold (value < 2^552 with 12-bit limbs).
+ACC_COLS = 2 * NL + 2
 
 
 def _const_limbs(v: int, n: int = NL) -> np.ndarray:
@@ -48,22 +56,15 @@ class FieldOps:
         self.mont_inv = spec.mont_inv
         self.p_limbs = _const_limbs(p)
         self.two_p_limbs = _const_limbs(2 * p)
-        # indices of nonzero p limbs (skip zero-multiplies in REDC)
-        self.p_nz = [(j, int(self.p_limbs[j])) for j in range(NL) if self.p_limbs[j]]
         self.one_mont = _const_limbs(spec.r_mod)
         self.r2 = _const_limbs(spec.r2_mod)
-        # from_uniform folding constant: c = 2^252 * R^2 mod p, see from_uniform.
-        self.c_uniform = _const_limbs((1 << 252) * spec.r2_mod % p)
-        # fixup constant for wide-column reduce: mont(2^12) = 2^12 * R mod p
-        self.c_shift12 = _const_limbs((1 << B) * spec.r_mod % p)
-        self.zero = np.zeros((NL,), dtype=np.int32)
 
         # jit the hot entry points (constants close over; cached per instance).
         # Inside larger jitted programs these trace through transparently.
         for name in (
             "add", "sub", "neg", "double", "mont_mul", "mont_sqr",
             "canonical", "to_mont", "from_mont", "is_zero", "eq",
-            "inv", "batch_inv", "from_uniform_bytes",
+            "inv", "batch_inv", "from_uniform_bytes", "sum_products",
         ):
             setattr(self, name, jax.jit(getattr(self, name)))
         self.pow_const = jax.jit(self.pow_const, static_argnums=1)
@@ -76,8 +77,8 @@ class FieldOps:
         """Broadcast a host Montgomery-form integer constant to (NL, *batch)."""
         limbs = _const_limbs(value_mont)
         out = jnp.asarray(limbs, dtype=I32)
-        return out.reshape((NL,) + (1,) * len(batch_shape)) * jnp.ones(
-            (1,) + tuple(batch_shape), I32
+        return jnp.broadcast_to(
+            out.reshape((NL,) + (1,) * len(batch_shape)), (NL,) + tuple(batch_shape)
         )
 
     # ------------------------------------------------------------------
@@ -103,7 +104,6 @@ class FieldOps:
 
     def _cond_sub(self, limbs: list, m_limbs: np.ndarray) -> list:
         """Return limbs - m if limbs >= m else limbs (single conditional)."""
-        # subtract with borrow
         diff = []
         borrow = 0
         for i in range(NL):
@@ -139,57 +139,64 @@ class FieldOps:
         return self.add(a, a)
 
     # ------------------------------------------------------------------
-    # multiplication
+    # multiplication core (array-based wide columns)
     # ------------------------------------------------------------------
-    def _mul_columns(self, a, b) -> list:
-        """Schoolbook product columns t[0..2NL-2]; columns < 22 * 2^24."""
-        t = [0] * (2 * NL - 1)
+    def _mul_cols(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        """Schoolbook product columns: (NL,*s) x (NL,*s) -> (2NL-1,*s).
+
+        Columns < 22 * 2^24 < 2^29.  One vector multiply-accumulate per limb
+        of ``a`` — 22 fused ops instead of 484 scalar ones.
+        """
+        batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+        t = jnp.zeros((2 * NL - 1,) + batch, I32)
         for i in range(NL):
-            ai = a[i]
-            for j in range(NL):
-                prod = ai * b[j]
-                t[i + j] = prod if isinstance(t[i + j], int) else t[i + j] + prod
+            t = t.at[i : i + NL].add(a[i][None] * b)
         return t
 
-    def _redc(self, t: list) -> list:
-        """Interleaved Montgomery reduction of product columns.
+    def _redc_cols(self, t: jnp.ndarray, k: int = NL) -> jnp.ndarray:
+        """Generalized Montgomery reduction: eliminate the low ``k`` limbs.
 
-        Consumes 2NL-1 columns (each < ~2^30), returns NL normalized limbs.
-        Result < a*b/R + p; for inputs < 2p this is < 2p.
+        Input: (C,*batch) columns with |col| < 2^30 and non-negative value.
+        Output: (NL,*batch) normalized limbs of value * 2^{-12k} (mod p),
+        valid when value < 2^{12k} * 2p so the result fits NL limbs.
         """
-        t = list(t) + [0, 0]
+        batch = t.shape[1:]
+        need = k + NL + 1
+        if t.shape[0] < need:
+            t = jnp.concatenate(
+                [t, jnp.zeros((need - t.shape[0],) + batch, I32)], axis=0
+            )
+        pl = jnp.asarray(self.p_limbs).reshape((NL,) + (1,) * len(batch))
         inv = self.mont_inv
-        for i in range(NL):
+        for i in range(k):
             m = (t[i] * inv) & MASK
-            for j, pj in self.p_nz:
-                t[i + j] = t[i + j] + m * pj
-            t[i + 1] = t[i + 1] + (t[i] >> B)
-        out = self._carry_list(t[NL : 2 * NL + 1], NL)
-        return out
+            t = t.at[i : i + NL].add(m[None] * pl)
+            t = t.at[i + 1].add(t[i] >> B)
+        out = self._carry_list([t[k + j] for j in range(NL + 1)], NL)
+        return jnp.stack(out)
 
     def mont_mul(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         """Montgomery product a*b*R^{-1}; loose in, loose out."""
-        al = [a[i] for i in range(NL)]
-        bl = [b[i] for i in range(NL)]
-        t = self._mul_columns(al, bl)
-        return jnp.stack(self._redc(t))
+        return self._redc_cols(self._mul_cols(a, b), NL)
 
     def mont_sqr(self, a: jnp.ndarray) -> jnp.ndarray:
         return self.mont_mul(a, a)
 
-    def mul_const(self, a: jnp.ndarray, c_mont: int) -> jnp.ndarray:
-        """Multiply by a host constant given in Montgomery form."""
-        cl = _const_limbs(c_mont)
-        al = [a[i] for i in range(NL)]
-        t = [0] * (2 * NL - 1)
+    def mul_const(self, a: jnp.ndarray, c: int) -> jnp.ndarray:
+        """a * c * R^{-1} for a host integer constant c (pass c = k*R mod p
+        to multiply a Montgomery value by plain k)."""
+        cl = _const_limbs(c % self.p)
+        batch = a.shape[1:]
+        t = jnp.zeros((2 * NL - 1,) + batch, I32)
         for j in range(NL):
             cj = int(cl[j])
-            if cj == 0:
-                continue
-            for i in range(NL):
-                v = al[i] * cj
-                t[i + j] = v if isinstance(t[i + j], int) else t[i + j] + v
-        return jnp.stack(self._redc(t))
+            if cj:
+                t = t.at[j : j + NL].add(a * cj)
+        return self._redc_cols(t, NL)
+
+    def mul_small(self, a: jnp.ndarray, k: int) -> jnp.ndarray:
+        """Multiply by a small plain integer k (|k| small) without REDC."""
+        return self.mul_const(a, k * self.spec.r_mod % self.p)
 
     # ------------------------------------------------------------------
     # canonicalization & conversion
@@ -202,14 +209,15 @@ class FieldOps:
 
     def to_mont(self, a_canonical: jnp.ndarray) -> jnp.ndarray:
         """Canonical-integer limbs -> Montgomery form (mul by R^2)."""
-        return self.mont_mul(a_canonical, jnp.asarray(self.r2, I32).reshape(
-            (NL,) + (1,) * (a_canonical.ndim - 1)
-        ))
+        return self.mul_const(a_canonical, self.spec.r2_mod)
 
     def from_mont(self, a: jnp.ndarray) -> jnp.ndarray:
         """Montgomery form -> canonical integer limbs in [0, p)."""
-        one = jnp.zeros_like(a).at[0].set(1)
-        v = self.mont_mul(a, one)
+        batch = a.shape[1:]
+        t = jnp.concatenate(
+            [a, jnp.zeros((NL - 1,) + batch, I32)], axis=0
+        )
+        v = self._redc_cols(t, NL)
         return self.canonical(v)
 
     def is_zero(self, a: jnp.ndarray) -> jnp.ndarray:
@@ -238,8 +246,8 @@ class FieldOps:
     def inv(self, a: jnp.ndarray) -> jnp.ndarray:
         """Fermat inversion a^(p-2). Undefined for a == 0 (returns 0).
 
-        Uses a fori_loop square-and-multiply (compiles one sqr+mul body,
-        iterates over the exponent bits at runtime) to keep graphs small.
+        fori_loop square-and-multiply: one sqr+mul body compiled once,
+        iterated over the exponent bits at runtime.
         """
         e = self.p - 2
         nbits = e.bit_length()
@@ -256,57 +264,34 @@ class FieldOps:
         return jax.lax.fori_loop(0, nbits, body, one)
 
     def batch_inv(self, a: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
-        """Montgomery-trick batch inversion along a batch axis.
+        """Montgomery-trick batch inversion along the last axis.
 
-        Zero entries are mapped to zero (like the reference's usage where
-        zeros are skipped).  Uses one Fermat inversion + 3n muls.
+        Zero entries map to zero.  One Fermat inversion + 3n muls; intended
+        for moderate n (sequential prefix products).
         """
         assert axis == -1
         n = a.shape[-1]
         is_z = self.is_zero(a)
         one_full = self.const(self.spec.r_mod, a.shape[1:])
         safe = jnp.where(is_z[None, ...], one_full, a)
-        # prefix products (sequential over n — use only for moderate n)
         acc = None
         accs = []
         for i in range(n):
             ai = safe[..., i]
             acc = ai if acc is None else self.mont_mul(acc, ai)
             accs.append(acc)
-        total_inv = self.inv(accs[-1])
+        run = self.inv(accs[-1])
         outs = [None] * n
-        run = total_inv
-        for i in range(n - 1, -1, -1):
-            if i == 0:
-                outs[0] = run
-            else:
-                outs[i] = self.mont_mul(run, accs[i - 1])
-                run = self.mont_mul(run, safe[..., i])
+        for i in range(n - 1, 0, -1):
+            outs[i] = self.mont_mul(run, accs[i - 1])
+            run = self.mont_mul(run, safe[..., i])
+        outs[0] = run
         out = jnp.stack(outs, axis=-1)
         return jnp.where(is_z[None, ...], jnp.zeros_like(out), out)
 
     # ------------------------------------------------------------------
     # wide/uniform reduction
     # ------------------------------------------------------------------
-    def reduce_wide_limbs(self, t: list, n_in: int, shift_fix: int) -> jnp.ndarray:
-        """Reduce an n_in-limb value (normalized limbs) to NL loose limbs.
-
-        Applies generalized REDC eliminating k = n_in - NL limbs, yielding
-        value * 2^{-B*k} (mod p).  ``shift_fix`` must be the Montgomery-form
-        constant 2^{B*k} * wanted_factor so the caller controls semantics.
-        """
-        k = n_in - NL
-        t = list(t) + [0]
-        inv = self.mont_inv
-        for i in range(k):
-            m = (t[i] * inv) & MASK
-            for j, pj in self.p_nz:
-                t[i + j] = t[i + j] + m * pj
-            t[i + 1] = t[i + 1] + (t[i] >> B)
-        out = self._carry_list(t[k : n_in + 1], NL)
-        v = jnp.stack(out)
-        return self.mul_const(v, shift_fix)
-
     def from_uniform_bytes(self, data: jnp.ndarray) -> jnp.ndarray:
         """(64, *batch) uint8 little-endian -> Montgomery-form field element.
 
@@ -314,71 +299,75 @@ class FieldOps:
         integer reduced mod p, in Montgomery representation.
         """
         limbs43 = bytes_to_limbs(data, 43)
-        t = [limbs43[i] for i in range(43)]
-        # eliminate 21 limbs -> factor 2^{-252}; value < 2^512/2^252 + p
-        k = 21
-        t = t + [0]
-        inv = self.mont_inv
-        for i in range(k):
-            m = (t[i] * inv) & MASK
-            for j, pj in self.p_nz:
-                t[i + j] = t[i + j] + m * pj
-            t[i + 1] = t[i + 1] + (t[i] >> B)
-        out = self._carry_list(t[k : 43 + 1], NL)
-        v = jnp.stack(out)
+        t = jnp.stack(limbs43)
+        # eliminate 21 limbs -> factor 2^{-252}; result < 2^260 + 2p
+        v = self._redc_cols(t, 21)
         # v = value * 2^{-252}; multiply by c = 2^252 * R^2 so that
         # result = v * c * R^{-1} = value * R  (Montgomery form of value).
         return self.mul_const(v, (1 << 252) * self.spec.r2_mod % self.p)
 
     # ------------------------------------------------------------------
-    # delayed-reduction accumulator
+    # delayed-reduction accumulation
     # ------------------------------------------------------------------
-    def acc_new(self, batch_shape) -> list:
-        """45-column accumulator for sums of Montgomery products."""
-        return [jnp.zeros(batch_shape, I32) for _ in range(2 * NL + 1)]
+    def sum_products(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        """Sum_i a[:,i] * b[:,i] over the batch axis, one REDC total.
 
-    def acc_mul_add(self, acc: list, a: jnp.ndarray, b: jnp.ndarray) -> list:
+        The TPU delayed-reduction workhorse (cf. reference
+        compute_eval_points_quad, src/sumcheck.rs:128-174): per-element
+        product columns (no REDC), one parallel carry step, then a
+        hierarchical integer sum across lanes with a carry step per stage
+        so every column stays < 2^29, and a single wide reduction at the
+        end.  Batch must be a power of two (callers pad).
+        """
+        t = self._mul_cols(a, b)  # (43, n), cols < 2^29
+        cols = self._parallel_carry(t)  # (44, n), cols < 23*2^12
+        n = a.shape[-1]
+        while n > 1:
+            k = min(n, 4096)
+            cols = cols.reshape(cols.shape[:-1] + (n // k, k)).sum(axis=-1)
+            cols = self._parallel_carry(cols)
+            n //= k
+        return self.acc_reduce(cols[..., 0])
+
+    @staticmethod
+    def _parallel_carry(t: jnp.ndarray) -> jnp.ndarray:
+        """One parallel carry step; appends a spill column."""
+        low = t & MASK
+        shifted = t >> B
+        out = jnp.concatenate([low, jnp.zeros_like(t[:1])], axis=0)
+        return out.at[1:].add(shifted)
+
+    def acc_new(self, batch_shape) -> jnp.ndarray:
+        """(ACC_COLS, *batch) accumulator for sums of Montgomery products."""
+        return jnp.zeros((ACC_COLS,) + tuple(batch_shape), I32)
+
+    def acc_mul_add(self, acc: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray):
         """acc += a*b (columns), followed by one parallel carry step.
 
-        The parallel carry keeps every column < ~2^29 regardless of how many
-        products are accumulated, the TPU analogue of the reference's
-        WideLimbs<9> accumulator (src/big_num/delayed_reduction.rs:52-64).
+        Keeps every column < ~2^29 regardless of how many products are
+        accumulated — the TPU analogue of the reference's WideLimbs<9>
+        accumulator (src/big_num/delayed_reduction.rs:52-64).
         """
-        al = [a[i] for i in range(NL)]
-        bl = [b[i] for i in range(NL)]
-        t = list(acc)
-        for i in range(NL):
-            ai = al[i]
-            for j in range(NL):
-                t[i + j] = t[i + j] + ai * bl[j]
-        # parallel carry step: bound columns again
-        new = [None] * len(t)
-        new[0] = t[0] & MASK
-        for i in range(1, len(t)):
-            new[i] = (t[i] & MASK) + (t[i - 1] >> B)
-        return new
+        t = acc.at[: 2 * NL - 1].add(self._mul_cols(a, b))
+        low = t & MASK
+        return low.at[1:].add(t[:-1] >> B)
 
-    def acc_reduce(self, acc: list) -> jnp.ndarray:
-        """Collapse accumulator to a loose Montgomery element: sum * R^{-1}."""
-        # full carry normalize to 46 limbs (value < 2^533 fits with slack)
-        t = self._carry_list(acc, 2 * NL + 2)
-        n_in = 2 * NL + 2  # 46 limbs
-        k = n_in - NL  # eliminate 24 limbs -> factor 2^{-288}
-        t = list(t) + [0]
-        inv = self.mont_inv
-        for i in range(k):
-            m = (t[i] * inv) & MASK
-            for j, pj in self.p_nz:
-                t[i + j] = t[i + j] + m * pj
-            t[i + 1] = t[i + 1] + (t[i] >> B)
-        out = self._carry_list(t[k : n_in + 1], NL)
-        v = jnp.stack(out)
-        # fix factor: multiply by 2^{B*k} * ... we want overall factor R^{-1}:
-        # v = S * 2^{-B*k}; want S * R^{-1} = v * 2^{B*k} * R^{-1}
-        # mul_const(v, c) = v * c * R^{-1}; choose c = 2^{B*k} mod p... then
-        # result = S * 2^{-Bk} * 2^{Bk} * R^{-1} = S * R^{-1}.  Correct.
-        c = pow(2, B * k, self.p)
-        return self.mul_const(v, c)
+    def acc_reduce(self, acc: jnp.ndarray) -> jnp.ndarray:
+        """Collapse a wide accumulator to a loose Montgomery element.
+
+        Input: (C,*batch) columns, C <= ACC_COLS, non-negative value
+        < 2^540.  Returns sum * R^{-1} in [0, 2p) — i.e. the Montgomery
+        form of the sum when the accumulated products were of Montgomery
+        operands.
+        """
+        C = acc.shape[0]
+        assert C <= ACC_COLS
+        # full carry normalize to ACC_COLS limbs
+        t = self._carry_list([acc[i] for i in range(C)], ACC_COLS)
+        k = ACC_COLS - NL  # eliminate 24 limbs -> factor 2^{-288}
+        v = self._redc_cols(jnp.stack(t), k)
+        # v = S * 2^{-12k}; want S * R^{-1} = v * (2^{12k} mod p) * R^{-1}.
+        return self.mul_const(v, pow(2, B * k, self.p))
 
 
 # ---------------------------------------------------------------------------

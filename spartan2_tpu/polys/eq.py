@@ -1,0 +1,76 @@
+"""Equality and power polynomials: host evaluators + device table builders.
+
+Reference: src/polys/eq.rs (eq tables via doubling) and src/polys/power.rs
+(pow split-evals outer product).  On device, the table build is a static
+doubling loop of batched Montgomery multiplies — one mont_mul per produced
+entry, perfectly lane-parallel.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..field.constants import FieldSpec
+from ..field.jnp_ops import NL, FieldOps
+
+
+# ---------------------------------------------------------------------------
+# host (python ints)
+# ---------------------------------------------------------------------------
+
+
+def eq_evaluate(field: FieldSpec, r: list[int], rx: list[int]) -> int:
+    p = field.modulus
+    acc = 1
+    for a, b in zip(r, rx):
+        acc = acc * (a * b + (1 - a) * (1 - b)) % p
+    return acc
+
+
+def eq_evals_host(field: FieldSpec, r: list[int]) -> list[int]:
+    """All 2^len(r) evaluations, index bit order: r[0] is the TOP bit."""
+    p = field.modulus
+    evals = [1]
+    for ri in reversed(r):
+        hi = [v * ri % p for v in evals]
+        lo = [(v - h) % p for v, h in zip(evals, hi)]
+        evals = lo + hi
+    return evals
+
+
+def pow_split_evals_host(field: FieldSpec, t: int, ell: int,
+                         len_left: int, len_right: int) -> tuple[list[int], list[int]]:
+    """PowPolynomial::split_evals (power.rs:65-86): left = t^i, right = t^{i*len_left}."""
+    p = field.modulus
+    assert len_left * len_right == 1 << ell
+    left = [1] * len_left
+    for i in range(1, len_left):
+        left[i] = left[i - 1] * t % p
+    step = left[-1] * t % p
+    right = [1] * len_right
+    for i in range(1, len_right):
+        right[i] = right[i - 1] * step % p
+    return left, right
+
+
+# ---------------------------------------------------------------------------
+# device
+# ---------------------------------------------------------------------------
+
+
+def eq_evals_device(ops: FieldOps, r: jnp.ndarray) -> jnp.ndarray:
+    """Build the (NL, 2^m) eq table on device from (NL, m) points.
+
+    Index convention matches the reference (eq.rs:59-92): entry index i has
+    r[0] as its most-significant bit.
+    """
+    m = r.shape[1]
+    evals = ops.const(ops.spec.r_mod, (1,))  # [ONE]
+    for j in range(m - 1, -1, -1):
+        rj = r[:, j : j + 1]
+        size = evals.shape[1]
+        rj_b = jnp.broadcast_to(rj, (NL, size))
+        hi = ops.mont_mul(evals, rj_b)
+        lo = ops.sub(evals, hi)
+        evals = jnp.concatenate([lo, hi], axis=1)
+    return evals

@@ -1,0 +1,215 @@
+"""Device-resident sum-check provers.
+
+The reference's hottest loop (src/sumcheck.rs) re-imagined for TPU:
+
+* Each protocol round is ONE jitted step function: evaluation sums,
+  the Keccak transcript squeeze, univariate interpolation, the claim
+  update, and the binds are fused so the host only enqueues kernels —
+  no host<->device round trips (the link costs ~25-90ms each way).
+* Evaluation sums use FieldOps.sum_products (delayed reduction: one wide
+  REDC per sum instead of one per product).
+* Step functions are cached per (batch-size, transcript-round) and reused
+  across proofs; warmed up during prep_prove.
+
+Protocol messages are identical to the reference's
+prove_cubic_with_three_inputs / prove_quad (same evaluation points, same
+compressed-coefficient transcript encoding), so verification is
+interoperable.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..field.jnp_ops import NL, FieldOps
+from ..transcript.device import DeviceTranscript
+
+
+# ---------------------------------------------------------------------------
+# device univariate helpers
+# ---------------------------------------------------------------------------
+
+
+def from_evals3_dev(ops: FieldOps, e0, e1, e2):
+    """(NL,) evals at 0,1,2 -> (NL, 3) coefficients (c, b, a)."""
+    p = ops.p
+    c = e0
+    a = ops.mul_const(ops.add(ops.sub(e0, ops.double(e1)), e2),
+                      ops.spec.two_inv * ops.spec.r_mod % p)
+    b = ops.sub(ops.sub(e1, c), a)
+    return jnp.stack([c, b, a], axis=1)
+
+
+def from_evals4_dev(ops: FieldOps, e0, e1, e2, e3):
+    """(NL,) evals at 0..3 -> (NL, 4) coefficients (d, c, b, a)."""
+    p = ops.p
+    d = e0
+    e1_3 = ops.add(ops.double(e1), e1)
+    e2_3 = ops.add(ops.double(e2), e2)
+    delta3 = ops.sub(ops.add(ops.sub(e3, e2_3), e1_3), e0)
+    a = ops.mul_const(delta3, pow(6, -1, p) * ops.spec.r_mod % p)
+    delta2 = ops.add(ops.sub(e2, ops.double(e1)), e0)
+    b = ops.sub(ops.mul_const(delta2, ops.spec.two_inv * ops.spec.r_mod % p),
+                ops.add(ops.double(a), a))
+    c = ops.sub(ops.sub(ops.sub(e1, d), b), a)
+    return jnp.stack([d, c, b, a], axis=1)
+
+
+def unipoly_eval_dev(ops: FieldOps, coeffs: jnp.ndarray, r: jnp.ndarray):
+    """Horner evaluation of (NL, k) coefficients at (NL,) point."""
+    k = coeffs.shape[1]
+    acc = coeffs[:, k - 1]
+    for i in range(k - 2, -1, -1):
+        acc = ops.add(ops.mont_mul(acc, r), coeffs[:, i])
+    return acc
+
+
+def absorb_unipoly(td: DeviceTranscript, coeffs: jnp.ndarray) -> None:
+    """Absorb under label b"p" as compressed coefficients [c0, c2, c3...],
+    each 32-byte little-endian canonical (univariate.rs:182-190)."""
+    k = coeffs.shape[1]
+    comp = jnp.stack([coeffs[:, 0]] + [coeffs[:, i] for i in range(2, k)], axis=1)
+    from ..field.jnp_ops import limbs_to_bytes
+
+    canon = td.ops.from_mont(comp)
+    le = limbs_to_bytes(canon, 32)  # (32, k-1)
+    td.absorb_bytes(b"p", le.T.reshape(-1))
+
+
+def _bind_top(ops: FieldOps, arr: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
+    """bind_poly_var_top: (NL, n) -> (NL, n/2) with a' = lo + r*(hi - lo)."""
+    half = arr.shape[1] // 2
+    lo, hi = arr[:, :half], arr[:, half:]
+    rb = jnp.broadcast_to(r[:, None], (NL, half))
+    return ops.add(lo, ops.mont_mul(rb, ops.sub(hi, lo)))
+
+
+# ---------------------------------------------------------------------------
+# provers
+# ---------------------------------------------------------------------------
+
+
+class SumcheckProverCubic:
+    """prove_cubic_with_three_inputs: claim_j = sum eq * (A*B - C).
+
+    v1 computes the eq table explicitly and treats it as a fourth bound
+    polynomial (protocol-equivalent to the reference's Gruen/BDDT-optimized
+    EqSumCheckInstance — same messages, more device FLOPs; the optimized
+    path is a planned upgrade).
+    """
+
+    def __init__(self, ops: FieldOps):
+        self.ops = ops
+
+    @functools.lru_cache(maxsize=None)
+    def _step(self, n: int, t_round: int):
+        ops = self.ops
+
+        def step(eq, A, Bp, C, claim, tstate):
+            half = n // 2
+            eq_l, eq_h = eq[:, :half], eq[:, half:]
+            A_l, A_h = A[:, :half], A[:, half:]
+            B_l, B_h = Bp[:, :half], Bp[:, half:]
+            C_l, C_h = C[:, :half], C[:, half:]
+
+            def eval_at(eqv, Av, Bv, Cv):
+                u = ops.sub(ops.mont_mul(Av, Bv), Cv)
+                return ops.sum_products(eqv, u)
+
+            t0 = eval_at(eq_l, A_l, B_l, C_l)
+            # bound at 2: 2*hi - lo ; at 3: previous + (hi - lo)
+            eq_d, A_d = ops.sub(eq_h, eq_l), ops.sub(A_h, A_l)
+            B_d, C_d = ops.sub(B_h, B_l), ops.sub(C_h, C_l)
+            eq2, A2 = ops.add(eq_h, eq_d), ops.add(A_h, A_d)
+            B2, C2 = ops.add(B_h, B_d), ops.add(C_h, C_d)
+            t2 = eval_at(eq2, A2, B2, C2)
+            eq3, A3 = ops.add(eq2, eq_d), ops.add(A2, A_d)
+            B3, C3 = ops.add(B2, B_d), ops.add(C2, C_d)
+            t3 = eval_at(eq3, A3, B3, C3)
+
+            e1 = ops.sub(claim, t0)
+            coeffs = from_evals4_dev(ops, t0, e1, t2, t3)
+
+            td = DeviceTranscript(ops, state=tstate, round=t_round)
+            absorb_unipoly(td, coeffs)
+            r = td.squeeze_mont(b"c")
+            new_claim = unipoly_eval_dev(ops, coeffs, r)
+
+            rb = jnp.broadcast_to(r[:, None], (NL, half))
+            eq_n = ops.add(eq_l, ops.mont_mul(rb, eq_d))
+            A_n = ops.add(A_l, ops.mont_mul(rb, A_d))
+            B_n = ops.add(B_l, ops.mont_mul(rb, B_d))
+            C_n = ops.add(C_l, ops.mont_mul(rb, C_d))
+            return eq_n, A_n, B_n, C_n, new_claim, r, coeffs, td.state
+
+        return jax.jit(step)
+
+    def prove(self, td: DeviceTranscript, eq, A, Bp, C, claim):
+        """Run all rounds; returns (coeff list, r list, final evals, claim)."""
+        n = eq.shape[1]
+        coeffs_out, r_out = [], []
+        while n > 1:
+            step = self._step(n, td.round)
+            eq, A, Bp, C, claim, r, coeffs, tstate = step(eq, A, Bp, C, claim, td.state)
+            td.state = tstate
+            td.round += 1
+            coeffs_out.append(coeffs)
+            r_out.append(r)
+            n //= 2
+        finals = (A[:, 0], Bp[:, 0], C[:, 0])
+        return coeffs_out, r_out, finals, claim
+
+
+class SumcheckProverQuad:
+    """prove_quad with the BDDT 2-sum optimization (sumcheck.rs:190-247)."""
+
+    def __init__(self, ops: FieldOps):
+        self.ops = ops
+
+    @functools.lru_cache(maxsize=None)
+    def _step(self, n: int, t_round: int):
+        ops = self.ops
+
+        def step(A, Bp, claim, tstate):
+            half = n // 2
+            A_l, A_h = A[:, :half], A[:, half:]
+            B_l, B_h = Bp[:, :half], Bp[:, half:]
+            t0 = ops.sum_products(A_l, B_l)
+            A_d, B_d = ops.sub(A_h, A_l), ops.sub(B_h, B_l)
+            t_inf = ops.sum_products(A_d, B_d)
+            # e2 = 2*claim - 3*e0 + 2*t_inf
+            e2 = ops.add(ops.sub(ops.double(claim),
+                                 ops.add(ops.double(t0), t0)),
+                         ops.double(t_inf))
+            e1 = ops.sub(claim, t0)
+            coeffs = from_evals3_dev(ops, t0, e1, e2)
+
+            td = DeviceTranscript(ops, state=tstate, round=t_round)
+            absorb_unipoly(td, coeffs)
+            r = td.squeeze_mont(b"c")
+            new_claim = unipoly_eval_dev(ops, coeffs, r)
+
+            rb = jnp.broadcast_to(r[:, None], (NL, half))
+            A_n = ops.add(A_l, ops.mont_mul(rb, A_d))
+            B_n = ops.add(B_l, ops.mont_mul(rb, B_d))
+            return A_n, B_n, new_claim, r, coeffs, td.state
+
+        return jax.jit(step)
+
+    def prove(self, td: DeviceTranscript, A, Bp, claim, num_rounds: int):
+        n = A.shape[1]
+        assert n == 1 << num_rounds
+        coeffs_out, r_out = [], []
+        for _ in range(num_rounds):
+            step = self._step(n, td.round)
+            A, Bp, claim, r, coeffs, tstate = step(A, Bp, claim, td.state)
+            td.state = tstate
+            td.round += 1
+            coeffs_out.append(coeffs)
+            r_out.append(r)
+            n //= 2
+        finals = (A[:, 0], Bp[:, 0])
+        return coeffs_out, r_out, finals, claim

@@ -167,7 +167,7 @@ def test_acc_batched_then_sum(fctx):
     acc = ops.acc_new((n,))
     acc = ops.acc_mul_add(acc, da, db)
     # reduce across batch: integer sum per column is safe (cols < 2^17, n=256)
-    acc = [c.sum(axis=-1) for c in acc]
+    acc = acc.sum(axis=-1)
     got = limbs_to_ints(ops.acc_reduce(acc), spec)[0]
     assert got == sum(x * y for x, y in zip(a, b)) % p
 
