@@ -1,0 +1,350 @@
+"""Device-resident elliptic-curve kernels (pure JAX, TPU-friendly).
+
+TPU-native replacement for the reference's MSM layer (src/provider/msm.rs)
+and halo2curves point arithmetic: points ride the VPU lanes as Jacobian
+coordinates in 12-bit-limb Montgomery form over the base field — shape
+``(NL, n)`` per coordinate, n points per batch.
+
+Design notes:
+  * Formulas are branch-free: every add also evaluates the doubling case
+    and selects per lane with ``jnp.where`` (complete addition at ~2x the
+    incomplete cost, the standard SIMD trade).  Infinity is Z == 0 mod p.
+  * ``msm``: per-lane double-and-add ladders batched over all points, then
+    a log-depth tree reduction — total work O(bits * n) point-ops but in
+    perfectly regular n-lane batches.  Bucket-style Pippenger relies on
+    data-dependent scatter, which SIMD hardware hates; the lane-parallel
+    ladder is the TPU-shaped equivalent.  (Reference: Pippenger at
+    msm.rs:59-222.)
+  * ``msm_small`` / ``msm_binary``: the reference's small-scalar dispatch
+    (msm.rs:418-620) — witness vectors are mostly bits, so the ladder
+    shortens to 64 or 1 bit-iterations.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..field.constants import LIMB_BITS, NUM_LIMBS
+from ..field.jnp_ops import NL, FieldOps
+from ..field.limbs import ints_to_limbs_np, limbs_to_ints
+from ..utils.jitcache import cached_jit
+from .curve import Affine, CurveSpec
+
+I32 = jnp.int32
+
+# A device point is a tuple (X, Y, Z) of (NL, *batch) int32 Montgomery limbs.
+Point = tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]
+
+
+class DeviceCurve:
+    """Batched Jacobian arithmetic for one curve; owns base-field FieldOps."""
+
+    def __init__(self, curve: CurveSpec):
+        self.curve = curve
+        self.fb = FieldOps(curve.base)
+        p = curve.base.modulus
+        # Montgomery forms of the curve constant a (and 3a for dbl)
+        self.a_mont = curve.a % p * self.fb.spec.r_mod % p
+        self.a_is_zero = curve.a % p == 0
+
+    # ------------------------------------------------------------------
+    # representation helpers
+    # ------------------------------------------------------------------
+    def infinity(self, batch_shape=()) -> Point:
+        z = jnp.zeros((NL,) + tuple(batch_shape), I32)
+        one = self.fb.const(self.fb.spec.r_mod, batch_shape)
+        return (z, one, z)
+
+    def affine_to_device(self, pts: list[Affine]) -> Point:
+        """Host affine ints -> device Jacobian (Z=1; identity gets Z=0)."""
+        xs = [pt[0] if pt else 0 for pt in pts]
+        ys = [pt[1] if pt else 1 for pt in pts]
+        zs = [0 if pt is None else 1 for pt in pts]
+        X = jnp.asarray(ints_to_limbs_np(xs, self.curve.base, mont=True))
+        Y = jnp.asarray(ints_to_limbs_np(ys, self.curve.base, mont=True))
+        Z = jnp.asarray(ints_to_limbs_np(zs, self.curve.base, mont=True))
+        return (X, Y, Z)
+
+    def to_affine_host(self, P: Point) -> list[Affine]:
+        """Pull a (NL, n) point batch to host as canonical affine ints."""
+        fb = self.fb
+        X, Y, Z = P
+        if X.ndim == 1:
+            X, Y, Z = X[:, None], Y[:, None], Z[:, None]
+        xs = limbs_to_ints(np.asarray(fb.from_mont(X)), self.curve.base, mont=False)
+        ys = limbs_to_ints(np.asarray(fb.from_mont(Y)), self.curve.base, mont=False)
+        zs = limbs_to_ints(np.asarray(fb.from_mont(Z)), self.curve.base, mont=False)
+        p = self.curve.base.modulus
+        out: list[Affine] = []
+        for x, y, z in zip(xs, ys, zs):
+            if z % p == 0:
+                out.append(None)
+            else:
+                zinv = pow(z, -1, p)
+                zi2 = zinv * zinv % p
+                out.append((x * zi2 % p, y * zi2 * zinv % p))
+        return out
+
+    def is_infinity(self, P: Point) -> jnp.ndarray:
+        return jnp.all(self.fb.canonical(P[2]) == 0, axis=0)
+
+    @staticmethod
+    def _sel(mask: jnp.ndarray, a: Point, b: Point) -> Point:
+        m = mask[None, ...]
+        return tuple(jnp.where(m, ai, bi) for ai, bi in zip(a, b))
+
+    # ------------------------------------------------------------------
+    # group law
+    # ------------------------------------------------------------------
+    def dbl(self, P: Point) -> Point:
+        """Jacobian doubling (2007 Bernstein-Lange dbl-2007-bl shape).
+
+        Maps infinity to infinity and (x, 0) to infinity via Z3 = 2*Y*Z.
+        """
+        fb = self.fb
+        X, Y, Z = P
+        XX = fb.mont_sqr(X)
+        YY = fb.mont_sqr(Y)
+        YYYY = fb.mont_sqr(YY)
+        S = fb.double(fb.sub(fb.sub(fb.mont_sqr(fb.add(X, YY)), XX), YYYY))
+        M = fb.add(fb.double(XX), XX)
+        if not self.a_is_zero:
+            ZZ = fb.mont_sqr(Z)
+            # mul_const(x, c) yields value(x)*c/R; with x = mont(Z^4) = Z^4*R
+            # and c = a*R this is mont(a*Z^4).
+            M = fb.add(M, fb.mul_const(fb.mont_sqr(ZZ), self.a_mont))
+        X3 = fb.sub(fb.mont_sqr(M), fb.double(S))
+        e8 = fb.double(fb.double(fb.double(YYYY)))
+        Y3 = fb.sub(fb.mont_mul(M, fb.sub(S, X3)), e8)
+        Z3 = fb.double(fb.mont_mul(Y, Z))
+        return (X3, Y3, Z3)
+
+    def add(self, P: Point, Q: Point) -> Point:
+        """Complete Jacobian + Jacobian addition (branch-free select)."""
+        fb = self.fb
+        X1, Y1, Z1 = P
+        X2, Y2, Z2 = Q
+        Z1Z1 = fb.mont_sqr(Z1)
+        Z2Z2 = fb.mont_sqr(Z2)
+        U1 = fb.mont_mul(X1, Z2Z2)
+        U2 = fb.mont_mul(X2, Z1Z1)
+        S1 = fb.mont_mul(fb.mont_mul(Y1, Z2), Z2Z2)
+        S2 = fb.mont_mul(fb.mont_mul(Y2, Z1), Z1Z1)
+        H = fb.sub(U2, U1)
+        R = fb.sub(S2, S1)
+        HH = fb.mont_sqr(H)
+        HHH = fb.mont_mul(H, HH)
+        V = fb.mont_mul(U1, HH)
+        X3 = fb.sub(fb.sub(fb.mont_sqr(R), HHH), fb.double(V))
+        Y3 = fb.sub(fb.mont_mul(R, fb.sub(V, X3)), fb.mont_mul(S1, HHH))
+        Z3 = fb.mont_mul(fb.mont_mul(Z1, Z2), H)
+        out: Point = (X3, Y3, Z3)
+
+        h_zero = jnp.all(fb.canonical(H) == 0, axis=0)
+        r_zero = jnp.all(fb.canonical(R) == 0, axis=0)
+        # H == 0, R == 0 -> doubling; H == 0, R != 0 -> infinity (Z3 ~ 0 ok,
+        # but X3/Y3 garbage is fine since Z decides).
+        out = self._sel(h_zero & r_zero, self.dbl(P), out)
+        z1_zero = self.is_infinity(P)
+        z2_zero = self.is_infinity(Q)
+        out = self._sel(z1_zero, Q, out)
+        out = self._sel(z2_zero & ~z1_zero, P, out)
+        return out
+
+    def add_incomplete(self, P: Point, Q: Point) -> Point:
+        """Jacobian + Jacobian addition handling infinities but NOT the
+        equal-points case (P == Q yields Z == 0, i.e. a wrong "infinity").
+
+        Safe for MSM partial-sum trees over hashed generators: an equal
+        collision between two partial subset sums implies a discrete-log
+        relation among independent generators (negligible).  Cancellation
+        P == -Q correctly yields infinity via Z3 = Z1*Z2*H == 0.
+        Halves the HLO footprint vs the complete ``add`` (no embedded dbl).
+        """
+        fb = self.fb
+        X1, Y1, Z1 = P
+        X2, Y2, Z2 = Q
+        Z1Z1 = fb.mont_sqr(Z1)
+        Z2Z2 = fb.mont_sqr(Z2)
+        U1 = fb.mont_mul(X1, Z2Z2)
+        U2 = fb.mont_mul(X2, Z1Z1)
+        S1 = fb.mont_mul(fb.mont_mul(Y1, Z2), Z2Z2)
+        S2 = fb.mont_mul(fb.mont_mul(Y2, Z1), Z1Z1)
+        H = fb.sub(U2, U1)
+        R = fb.sub(S2, S1)
+        HH = fb.mont_sqr(H)
+        HHH = fb.mont_mul(H, HH)
+        V = fb.mont_mul(U1, HH)
+        X3 = fb.sub(fb.sub(fb.mont_sqr(R), HHH), fb.double(V))
+        Y3 = fb.sub(fb.mont_mul(R, fb.sub(V, X3)), fb.mont_mul(S1, HHH))
+        Z3 = fb.mont_mul(fb.mont_mul(Z1, Z2), H)
+        out: Point = (X3, Y3, Z3)
+        z1_zero = self.is_infinity(P)
+        z2_zero = self.is_infinity(Q)
+        out = self._sel(z1_zero, Q, out)
+        out = self._sel(z2_zero & ~z1_zero, P, out)
+        return out
+
+    def add_mixed_incomplete(self, P: Point, Qx: jnp.ndarray, Qy: jnp.ndarray) -> Point:
+        """P (Jacobian) + Q (affine, not infinity), without the doubling
+        branch.  Used in the MSM ladder where acc == Q would require
+        2*prefix == +-1 (mod order) — impossible for canonical scalars
+        (see msm docstring)."""
+        fb = self.fb
+        X1, Y1, Z1 = P
+        Z1Z1 = fb.mont_sqr(Z1)
+        U2 = fb.mont_mul(Qx, Z1Z1)
+        S2 = fb.mont_mul(fb.mont_mul(Qy, Z1), Z1Z1)
+        H = fb.sub(U2, X1)
+        R = fb.sub(S2, Y1)
+        HH = fb.mont_sqr(H)
+        HHH = fb.mont_mul(H, HH)
+        V = fb.mont_mul(X1, HH)
+        X3 = fb.sub(fb.sub(fb.mont_sqr(R), HHH), fb.double(V))
+        Y3 = fb.sub(fb.mont_mul(R, fb.sub(V, X3)), fb.mont_mul(Y1, HHH))
+        Z3 = fb.mont_mul(Z1, H)
+        out: Point = (X3, Y3, Z3)
+        one = fb.const(fb.spec.r_mod, Qx.shape[1:])
+        return self._sel(self.is_infinity(P), (Qx, Qy, one), out)
+
+    def add_mixed(self, P: Point, Qx: jnp.ndarray, Qy: jnp.ndarray) -> Point:
+        """P (Jacobian) + Q (affine, never infinity); complete via select."""
+        fb = self.fb
+        X1, Y1, Z1 = P
+        Z1Z1 = fb.mont_sqr(Z1)
+        U2 = fb.mont_mul(Qx, Z1Z1)
+        S2 = fb.mont_mul(fb.mont_mul(Qy, Z1), Z1Z1)
+        H = fb.sub(U2, X1)
+        R = fb.sub(S2, Y1)
+        HH = fb.mont_sqr(H)
+        HHH = fb.mont_mul(H, HH)
+        V = fb.mont_mul(X1, HH)
+        X3 = fb.sub(fb.sub(fb.mont_sqr(R), HHH), fb.double(V))
+        Y3 = fb.sub(fb.mont_mul(R, fb.sub(V, X3)), fb.mont_mul(Y1, HHH))
+        Z3 = fb.mont_mul(Z1, H)
+        out: Point = (X3, Y3, Z3)
+
+        h_zero = jnp.all(fb.canonical(H) == 0, axis=0)
+        r_zero = jnp.all(fb.canonical(R) == 0, axis=0)
+        out = self._sel(h_zero & r_zero, self.dbl(P), out)
+        one = fb.const(fb.spec.r_mod, Qx.shape[1:])
+        out = self._sel(self.is_infinity(P), (Qx, Qy, one), out)
+        return out
+
+    def neg(self, P: Point) -> Point:
+        return (P[0], self.fb.neg(P[1]), P[2])
+
+    # ------------------------------------------------------------------
+    # reductions and MSM
+    # ------------------------------------------------------------------
+    def tree_sum(self, P: Point, complete: bool = False) -> Point:
+        """Sum a (NL, n) batch of points -> (NL, 1); n power of two.
+
+        Default uses incomplete adds (see add_incomplete safety note);
+        pass complete=True when summands may coincide by construction.
+        """
+        addf = self.add if complete else self.add_incomplete
+        n = P[0].shape[1]
+        while n > 1:
+            half = n // 2
+            lo = tuple(c[:, :half] for c in P)
+            hi = tuple(c[:, half:] for c in P)
+            P = addf(lo, hi)
+            n = half
+        return P
+
+    def _pad_pow2(self, P: Point) -> Point:
+        n = P[0].shape[1]
+        m = 1 << (n - 1).bit_length()
+        if m == n:
+            return P
+        inf = self.infinity((m - n,))
+        return tuple(jnp.concatenate([c, i], axis=1) for c, i in zip(P, inf))
+
+    def _msm_impl(self, scalars_canon: jnp.ndarray, Qx: jnp.ndarray,
+                  Qy: jnp.ndarray, nbits: int) -> Point:
+        n = scalars_canon.shape[1]
+        acc = self.infinity((n,))
+
+        def body(i, acc):
+            bit_idx = nbits - 1 - i
+            limb = bit_idx // LIMB_BITS
+            sh = bit_idx % LIMB_BITS
+            bit = (scalars_canon[limb] >> sh) & 1
+            acc = self.dbl(acc)
+            added = self.add_mixed_incomplete(acc, Qx, Qy)
+            return self._sel(bit == 1, added, acc)
+
+        acc = jax.lax.fori_loop(0, nbits, body, acc)
+        s = self.tree_sum(self._pad_pow2(acc))
+        return tuple(c[:, 0] for c in s)
+
+    @functools.lru_cache(maxsize=None)
+    def _msm_jit(self, nbits: int):
+        return cached_jit(lambda s, x, y: self._msm_impl(s, x, y, nbits))
+
+    def msm(self, scalars_canon: jnp.ndarray, Qx: jnp.ndarray, Qy: jnp.ndarray,
+            nbits: int = NUM_LIMBS * LIMB_BITS) -> Point:
+        """MSM sum_i s_i * Q_i -> single point (coords shape (NL,)).
+
+        ``scalars_canon``: (NL, n) CANONICAL (non-Montgomery) scalar limbs.
+        ``Qx/Qy``: (NL, n) affine Montgomery coords (no infinities).
+        ``nbits``: static bound on scalar bit width (64 for small scalars).
+        Jitted per (n, nbits) so the persistent compilation cache reuses
+        the (expensive) XLA compile across processes.
+        """
+        return self._msm_jit(nbits)(scalars_canon, Qx, Qy)
+
+    @functools.lru_cache(maxsize=None)
+    def _msm_binary_jit(self):
+        def f(bits, Qx, Qy):
+            inf = self.infinity((bits.shape[0],))
+            one = self.fb.const(self.fb.spec.r_mod, (bits.shape[0],))
+            P = self._sel(bits == 1, (Qx, Qy, one), inf)
+            s = self.tree_sum(self._pad_pow2(P))
+            return tuple(c[:, 0] for c in s)
+        return cached_jit(f)
+
+    def msm_binary(self, bits: jnp.ndarray, Qx: jnp.ndarray, Qy: jnp.ndarray) -> Point:
+        """MSM with 0/1 scalars: masked tree-sum (reference msm_binary,
+        msm.rs:418-451).  ``bits``: (n,) int32 in {0,1}."""
+        return self._msm_binary_jit()(bits, Qx, Qy)
+
+    @functools.lru_cache(maxsize=None)
+    def _per_lane_jit(self, nbits: int):
+        def f(scalars_canon, Qx, Qy):
+            batch = scalars_canon.shape[1:]
+            acc = self.infinity(batch)
+
+            def body(i, acc):
+                bit_idx = nbits - 1 - i
+                limb = bit_idx // LIMB_BITS
+                sh = bit_idx % LIMB_BITS
+                bit = (scalars_canon[limb] >> sh) & 1
+                acc = self.dbl(acc)
+                added = self.add_mixed_incomplete(acc, Qx, Qy)
+                return self._sel(bit == 1, added, acc)
+
+            return jax.lax.fori_loop(0, nbits, body, acc)
+        return cached_jit(f)
+
+    def msm_points_per_lane(self, scalars_canon: jnp.ndarray, Qx: jnp.ndarray,
+                            Qy: jnp.ndarray,
+                            nbits: int = NUM_LIMBS * LIMB_BITS) -> Point:
+        """Per-lane s_i * Q_i without the final reduction: (NL, *batch)."""
+        return self._per_lane_jit(nbits)(scalars_canon, Qx, Qy)
+
+    def scalar_mul_host_base(self, k: int, Qx: jnp.ndarray, Qy: jnp.ndarray) -> Point:
+        """k (host int) * Q for a batch of points: static double-and-add."""
+        k %= self.curve.scalar.modulus
+        batch = Qx.shape[1:]
+        acc = self.infinity(batch)
+        for bit in bin(k)[2:] if k else "0":
+            acc = self.dbl(acc)
+            if bit == "1":
+                acc = self.add_mixed(acc, Qx, Qy)
+        return acc

@@ -1,0 +1,451 @@
+"""Hyrax polynomial commitment scheme + linear inner-product argument.
+
+Reference: src/provider/pcs/hyrax_pc.rs and src/provider/pcs/ipa.rs.
+A vector of length n is viewed as a (num_rows x num_cols) matrix; the
+commitment is one Pedersen commitment per row (hyrax_pc.rs:112-117).
+
+TPU mapping:
+  * ``commit``: all rows are committed by ONE batched MSM-ladder kernel
+    (rows x cols lanes); the reference's per-row rayon MSM loop
+    (hyrax_pc.rs:230-300) becomes a lane axis.
+  * ``prove``: the L-fold (LZ = L * Z-as-matrix, hyrax_pc.rs:38-54) is a
+    device delayed-reduction contraction; the linear IPA on the width-
+    sized remainder is host-side (it is O(width) scalar work).
+  * Verifier-side MSMs run on device when sizes warrant, host Pippenger
+    otherwise.
+
+Blinds are host-side Python ints (they are O(num_rows) scalars).
+"""
+
+from __future__ import annotations
+
+import secrets
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..errors import SpartanError
+from ..utils.jitcache import cached_jit
+from ..ec.curve import Affine, CurveSpec
+from ..ec.device import DeviceCurve, Point
+from ..field.jnp_ops import NL, FieldOps
+from ..field.limbs import ints_to_limbs_np, limbs_to_ints
+from ..polys.eq import eq_evals_host
+from ..transcript.transcript import Transcript
+
+
+def _div_ceil(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+@dataclass
+class HyraxCommitment:
+    comm: list[Affine]  # one point per row
+
+    def to_transcript_bytes(self, curve: CurveSpec) -> bytes:
+        return b"".join(curve.to_transcript_bytes(pt) for pt in self.comm)
+
+    def __eq__(self, other):
+        return isinstance(other, HyraxCommitment) and self.comm == other.comm
+
+
+@dataclass
+class HyraxBlind:
+    blind: list[int]  # one scalar per row
+
+
+@dataclass
+class IpaProof:
+    """Linear-size sigma protocol for c = <a, b> (ipa.rs:83-121)."""
+
+    delta: Affine
+    beta: Affine
+    z_vec: list[int]
+    z_delta: int
+    z_beta: int
+
+
+@dataclass
+class HyraxEvaluationArgument:
+    ipa: IpaProof
+
+
+class HyraxCommitmentKey:
+    """Generators for Hyrax commitments (hyrax_pc.rs:57-75).
+
+    Holds host affine generators plus device-resident coordinate planes
+    for the batched commit kernel.
+    """
+
+    def __init__(self, curve: CurveSpec, dc: DeviceCurve, label: bytes, width: int):
+        self.curve = curve
+        self.dc = dc
+        self.num_cols = width
+        gens = curve.from_label(label, width + 1)
+        self.ck: list[Affine] = gens[:width]
+        self.h: Affine = gens[width]
+        base = curve.base
+        self._Qx = jnp.asarray(ints_to_limbs_np([g[0] for g in self.ck], base, mont=True))
+        self._Qy = jnp.asarray(ints_to_limbs_np([g[1] for g in self.ck], base, mont=True))
+        self._hx = jnp.asarray(ints_to_limbs_np([self.h[0]], base, mont=True))
+        self._hy = jnp.asarray(ints_to_limbs_np([self.h[1]], base, mont=True))
+
+
+# The verifier key carries the same generators (hyrax_pc.rs:100-110).
+HyraxVerifierKey = HyraxCommitmentKey
+
+
+class HyraxPCS:
+    """PCSEngineTrait equivalent (traits/pcs.rs:32-200) for one engine."""
+
+    def __init__(self, curve: CurveSpec, dc: DeviceCurve, fs: FieldOps):
+        self.curve = curve
+        self.dc = dc
+        self.fs = fs  # scalar-field ops (witness values live here)
+        self._row_kernel_cache: dict = {}
+
+    # ------------------------------------------------------------------
+    # setup / blind
+    # ------------------------------------------------------------------
+    def setup(self, label: bytes, n: int, width: int) -> tuple[HyraxCommitmentKey, HyraxVerifierKey]:
+        ck = HyraxCommitmentKey(self.curve, self.dc, label, width)
+        return ck, ck
+
+    def blind(self, ck: HyraxCommitmentKey, n: int, rng=None) -> HyraxBlind:
+        num_rows = _div_ceil(n, ck.num_cols)
+        rand = rng if rng is not None else secrets.randbelow
+        p = self.curve.scalar.modulus
+        return HyraxBlind([rand(p) for _ in range(num_rows)])
+
+    # ------------------------------------------------------------------
+    # commit
+    # ------------------------------------------------------------------
+    def _rows_msm(self, ck: HyraxCommitmentKey, v_canon_rows: jnp.ndarray,
+                  nbits: int) -> Point:
+        """(NL, R, C) canonical scalars -> (NL, R) row MSM points."""
+        dc = self.dc
+        R, C = v_canon_rows.shape[1], v_canon_rows.shape[2]
+        key = (R, C, nbits)
+        if key not in self._row_kernel_cache:
+            from ..field.constants import LIMB_BITS
+
+            def kernel(scal, Qx, Qy):
+                Qxb = Qx[:, None, :]
+                Qyb = Qy[:, None, :]
+                acc = dc.infinity((R, C))
+
+                def body(i, acc):
+                    bit_idx = nbits - 1 - i
+                    limb = bit_idx // LIMB_BITS
+                    sh = bit_idx % LIMB_BITS
+                    bit = (scal[limb] >> sh) & 1
+                    acc = dc.dbl(acc)
+                    added = dc.add_mixed_incomplete(acc, Qxb, Qyb)
+                    return dc._sel(bit == 1, added, acc)
+
+                acc = jax.lax.fori_loop(0, nbits, body, acc)
+                # tree-reduce the column axis
+                n = C
+                m = 1 << (n - 1).bit_length()
+                if m != n:
+                    inf = dc.infinity((R, m - n))
+                    acc = tuple(jnp.concatenate([c, i], axis=2) for c, i in zip(acc, inf))
+                    n = m
+                while n > 1:
+                    half = n // 2
+                    lo = tuple(c[:, :, :half] for c in acc)
+                    hi = tuple(c[:, :, half:] for c in acc)
+                    acc = dc.add_incomplete(lo, hi)
+                    n = half
+                return tuple(c[:, :, 0] for c in acc)
+
+            self._row_kernel_cache[key] = cached_jit(kernel)
+        return self._row_kernel_cache[key](v_canon_rows, ck._Qx, ck._Qy)
+
+    def commit(self, ck: HyraxCommitmentKey, v_mont: jnp.ndarray, r: HyraxBlind,
+               is_small: bool = False) -> HyraxCommitment:
+        """Commit to (NL, n) Montgomery-form device scalars.
+
+        One fused kernel: canonicalize, reshape to rows, ladder-MSM all
+        rows, add blind*h per row (reference per-row loop at
+        hyrax_pc.rs:230-300).
+        """
+        n = v_mont.shape[1]
+        C = ck.num_cols
+        R = _div_ceil(n, C)
+        if n < R * C:
+            v_mont = jnp.concatenate(
+                [v_mont, jnp.zeros((NL, R * C - n), jnp.int32)], axis=1
+            )
+        v_canon = self.fs.from_mont(v_mont).reshape(NL, R, C)
+        nbits = 64 if is_small else NL * 12
+        rows = self._rows_msm(ck, v_canon, nbits)
+
+        # blind contribution: r_i * h per row, device ladder over R lanes
+        blinds_canon = jnp.asarray(
+            ints_to_limbs_np(r.blind, self.curve.scalar, mont=False)
+        )
+        hx = jnp.broadcast_to(ck._hx, (NL, R))
+        hy = jnp.broadcast_to(ck._hy, (NL, R))
+        bl = self.dc.msm_points_per_lane(blinds_canon, hx, hy)
+        total = self.dc.add(rows, bl)
+        return HyraxCommitment(self.dc.to_affine_host(total))
+
+    def commit_host(self, ck: HyraxCommitmentKey, v: list[int], r: HyraxBlind,
+                    is_small: bool = False) -> HyraxCommitment:
+        """Host-int convenience commit (tiny vectors: eval commitments)."""
+        n = len(v)
+        C = ck.num_cols
+        R = _div_ceil(n, C)
+        v = list(v) + [0] * (R * C - n)
+        comm = []
+        for i in range(R):
+            row = v[i * C : (i + 1) * C]
+            pt = self.curve.msm(row + [r.blind[i]], ck.ck + [ck.h])
+            comm.append(pt)
+        return HyraxCommitment(comm)
+
+    def commit_zeros(self, ck: HyraxCommitmentKey, n: int, r: HyraxBlind) -> HyraxCommitment:
+        num_rows = _div_ceil(n, ck.num_cols)
+        return HyraxCommitment(
+            [self.curve.scalar_mul(r.blind[i], ck.h) for i in range(num_rows)]
+        )
+
+    def check_commitment(self, comm: HyraxCommitment, n: int, width: int) -> None:
+        if len(comm.comm) != _div_ceil(n, width):
+            raise SpartanError(
+                f"InvalidCommitmentLength: actual {len(comm.comm)}, "
+                f"expected {_div_ceil(n, width)}"
+            )
+
+    def rerandomize_commitment(self, ck: HyraxCommitmentKey, comm: HyraxCommitment,
+                               r_old: HyraxBlind, r_new: HyraxBlind) -> HyraxCommitment:
+        if len(comm.comm) != len(r_old.blind) or len(comm.comm) != len(r_new.blind):
+            raise SpartanError("rerandomize_commitment: length mismatch")
+        p = self.curve.scalar.modulus
+        out = []
+        for pt, ro, rn in zip(comm.comm, r_old.blind, r_new.blind):
+            out.append(self.curve.add(pt, self.curve.scalar_mul((rn - ro) % p, ck.h)))
+        return HyraxCommitment(out)
+
+    @staticmethod
+    def combine_commitments(comms: list[HyraxCommitment]) -> HyraxCommitment:
+        if not comms:
+            raise SpartanError("combine_commitments: empty")
+        out = []
+        for cm in comms:
+            out.extend(cm.comm)
+        return HyraxCommitment(out)
+
+    @staticmethod
+    def combine_blinds(blinds: list[HyraxBlind]) -> HyraxBlind:
+        if not blinds:
+            raise SpartanError("combine_blinds: empty")
+        out = []
+        for b in blinds:
+            out.extend(b.blind)
+        return HyraxBlind(out)
+
+    # ------------------------------------------------------------------
+    # evaluation argument
+    # ------------------------------------------------------------------
+    def _bind_rows_device(self, poly_mont: jnp.ndarray, L: list[int],
+                          r_len: int) -> list[int]:
+        """LZ[j] = sum_r L[r] * poly[r, j] (hyrax bind_with_delayed,
+        hyrax_pc.rs:38-54) with one wide reduction per column."""
+        R = len(L)
+        Z = poly_mont.reshape(NL, R, r_len)
+        Lm = jnp.asarray(ints_to_limbs_np(L, self.curve.scalar, mont=True))
+        fs = self.fs
+
+        def kernel(Lm, Z):
+            t = fs._mul_cols(Lm[:, :, None], Z)  # (43, R, r_len)
+            t = fs._parallel_carry(t)
+            n = R
+            while n > 1:
+                k = min(n, 64)
+                t = t.reshape(t.shape[0], n // k, k, r_len).sum(axis=2)
+                t = fs._parallel_carry(t)
+                n //= k
+            return fs.acc_reduce(t[:, 0, :])
+
+        if not hasattr(self, '_bind_kernel'):
+            self._bind_kernel = {}
+        bk = self._bind_kernel.setdefault((R, r_len), cached_jit(kernel))
+        out = bk(Lm, Z)
+        return limbs_to_ints(np.asarray(out), self.curve.scalar, mont=True)
+
+    def prove(self, ck: HyraxCommitmentKey, ck_eval: HyraxCommitmentKey,
+              transcript: Transcript, comm: HyraxCommitment,
+              poly_mont: jnp.ndarray, blind: HyraxBlind, point: list[int],
+              comm_eval: HyraxCommitment, blind_eval: HyraxBlind,
+              rng=None) -> HyraxEvaluationArgument:
+        """Reference flow at hyrax_pc.rs:387-478."""
+        scalar = self.curve.scalar
+        p = scalar.modulus
+        n = poly_mont.shape[1]
+        if n != (1 << len(point)):
+            raise SpartanError("Hyrax prove: poly/point size mismatch")
+
+        transcript.absorb_bytes(b"poly_com", comm.to_transcript_bytes(self.curve))
+
+        num_cols = ck.num_cols
+        num_rows = _div_ceil(n, num_cols)
+        num_vars_rows = num_rows.bit_length() - 1
+
+        if num_vars_rows == 0:
+            comm_LZ = comm.comm[0]
+            Rv = eq_evals_host(scalar, point)
+            LZ = limbs_to_ints(np.asarray(poly_mont), scalar, mont=True)
+            r_LZ = blind.blind[0]
+        else:
+            L = eq_evals_host(scalar, point[:num_vars_rows])
+            Rv = eq_evals_host(scalar, point[num_vars_rows:])
+            LZ = self._bind_rows_device(poly_mont, L, len(Rv))
+            r_LZ = sum(l * b for l, b in zip(L, blind.blind)) % p
+            comm_LZ = self.curve.add(
+                self._msm_auto(LZ, ck.ck[: len(LZ)]),
+                self.curve.scalar_mul(r_LZ, ck.h),
+            )
+
+        ipa = self._ipa_prove(
+            ck, ck_eval, comm_LZ, Rv, comm_eval.comm[0], LZ, r_LZ,
+            blind_eval.blind[0], transcript, rng,
+        )
+        return HyraxEvaluationArgument(ipa)
+
+    def verify(self, vk: HyraxVerifierKey, ck_eval: HyraxCommitmentKey,
+               transcript: Transcript, comm: HyraxCommitment, point: list[int],
+               comm_eval: HyraxCommitment, arg: HyraxEvaluationArgument) -> None:
+        """Reference flow at hyrax_pc.rs:480-531."""
+        scalar = self.curve.scalar
+        transcript.absorb_bytes(b"poly_com", comm.to_transcript_bytes(self.curve))
+        n = 1 << len(point)
+        num_rows = _div_ceil(n, vk.num_cols)
+        num_vars_rows = num_rows.bit_length() - 1
+
+        if num_vars_rows == 0:
+            Rv = eq_evals_host(scalar, point)
+            comm_LZ = comm.comm[0]
+        else:
+            L = eq_evals_host(scalar, point[:num_vars_rows])
+            Rv = eq_evals_host(scalar, point[num_vars_rows:])
+            comm_LZ = self._msm_auto(L, comm.comm)
+
+        self._ipa_verify(
+            vk, ck_eval, comm_LZ, Rv, comm_eval.comm[0], arg.ipa, transcript
+        )
+
+    # ------------------------------------------------------------------
+    # linear IPA (ipa.rs:125-221)
+    # ------------------------------------------------------------------
+    IPA_NAME = b"inner product argument (linear)"
+
+    def _absorb_ipa_instance(self, transcript: Transcript, comm_a: Affine,
+                             comm_c: Affine) -> None:
+        transcript.dom_sep(self.IPA_NAME)
+        transcript.absorb_bytes(
+            b"U",
+            self.curve.to_transcript_bytes(comm_a) + self.curve.to_transcript_bytes(comm_c),
+        )
+
+    def _ipa_prove(self, ck, ck_eval, comm_a: Affine, b_vec: list[int],
+                   comm_c: Affine, a_vec: list[int], r_a: int, r_c: int,
+                   transcript: Transcript, rng=None) -> IpaProof:
+        scalar = self.curve.scalar
+        p = scalar.modulus
+        rand = rng if rng is not None else secrets.randbelow
+        self._absorb_ipa_instance(transcript, comm_a, comm_c)
+
+        d_vec = [rand(p) for _ in b_vec]
+        r_delta = rand(p)
+        r_beta = rand(p)
+        delta = self.curve.add(
+            self._msm_auto(d_vec, ck.ck[: len(d_vec)]),
+            self.curve.scalar_mul(r_delta, ck.h),
+        )
+        ip_bd = sum(x * y for x, y in zip(b_vec, d_vec)) % p
+        beta = self.curve.add(
+            self.curve.scalar_mul(ip_bd, ck_eval.ck[0]),
+            self.curve.scalar_mul(r_beta, ck_eval.h),
+        )
+        transcript.absorb_bytes(b"delta", self.curve.to_transcript_bytes(delta))
+        transcript.absorb_bytes(b"beta", self.curve.to_transcript_bytes(beta))
+        r = transcript.squeeze(b"r")
+
+        z_vec = [(r * a + d) % p for a, d in zip(a_vec, d_vec)]
+        z_delta = (r * r_a + r_delta) % p
+        z_beta = (r * r_c + r_beta) % p
+        return IpaProof(delta, beta, z_vec, z_delta, z_beta)
+
+    def _ipa_verify(self, vk, ck_eval, comm_a: Affine, b_vec: list[int],
+                    comm_c: Affine, proof: IpaProof, transcript: Transcript) -> None:
+        curve = self.curve
+        p = curve.scalar.modulus
+        self._absorb_ipa_instance(transcript, comm_a, comm_c)
+        transcript.absorb_bytes(b"delta", curve.to_transcript_bytes(proof.delta))
+        transcript.absorb_bytes(b"beta", curve.to_transcript_bytes(proof.beta))
+        r = transcript.squeeze(b"r")
+
+        if len(proof.z_vec) != len(b_vec) or len(vk.ck) < len(proof.z_vec):
+            raise SpartanError("IPA verify: z_vec length mismatch")
+
+        lhs1 = curve.add(curve.scalar_mul(r, comm_a), proof.delta)
+        rhs1 = curve.add(
+            self._msm_auto(proof.z_vec, vk.ck[: len(proof.z_vec)]),
+            curve.scalar_mul(proof.z_delta, vk.h),
+        )
+        if lhs1 != rhs1:
+            raise SpartanError("IPA verify: first equation failed")
+
+        ip_zb = sum(x * y for x, y in zip(proof.z_vec, b_vec)) % p
+        lhs2 = curve.add(curve.scalar_mul(r, comm_c), proof.beta)
+        rhs2 = curve.add(
+            curve.scalar_mul(ip_zb, ck_eval.ck[0]),
+            curve.scalar_mul(proof.z_beta, ck_eval.h),
+        )
+        if lhs2 != rhs2:
+            raise SpartanError("IPA verify: second equation failed")
+
+    # ------------------------------------------------------------------
+    # folding support (FoldingEngineTrait, traits/pcs.rs:204-232)
+    # ------------------------------------------------------------------
+    def fold_commitments(self, comms: list[HyraxCommitment],
+                         weights: list[int]) -> HyraxCommitment:
+        if len(comms) != len(weights) or not comms:
+            raise SpartanError("fold_commitments: bad input")
+        rows = len(comms[0].comm)
+        out = []
+        for i in range(rows):
+            pts = [cm.comm[i] for cm in comms]
+            out.append(self._msm_auto(list(weights), pts))
+        return HyraxCommitment(out)
+
+    def fold_blinds(self, blinds: list[HyraxBlind], weights: list[int]) -> HyraxBlind:
+        if len(blinds) != len(weights) or not blinds:
+            raise SpartanError("fold_blinds: bad input")
+        p = self.curve.scalar.modulus
+        rows = len(blinds[0].blind)
+        return HyraxBlind(
+            [sum(w * b.blind[i] for w, b in zip(weights, blinds)) % p for i in range(rows)]
+        )
+
+    # ------------------------------------------------------------------
+    def _msm_auto(self, scalars: list[int], points: list[Affine]) -> Affine:
+        """Host ints MSM: device kernel for large n, host Pippenger else."""
+        n = len(scalars)
+        if n == 0:
+            return None
+        if n < 64 or any(pt is None for pt in points):
+            return self.curve.msm(scalars, points)
+        # pad to pow2 with zero scalars (zero scalar lanes stay at infinity)
+        m = 1 << (n - 1).bit_length()
+        scalars = list(scalars) + [0] * (m - n)
+        points = list(points) + [points[0]] * (m - n)
+        sc = jnp.asarray(ints_to_limbs_np(scalars, self.curve.scalar, mont=False))
+        base = self.curve.base
+        Qx = jnp.asarray(ints_to_limbs_np([pt[0] for pt in points], base, mont=True))
+        Qy = jnp.asarray(ints_to_limbs_np([pt[1] for pt in points], base, mont=True))
+        return self.dc.to_affine_host(self.dc.msm(sc, Qx, Qy))[0]

@@ -1,0 +1,118 @@
+"""EC tests: host curve ops vs known identities; device kernels vs host.
+
+Mirrors the reference's MSM cross-checks (src/provider/msm.rs:869-935:
+msm vs naive double-and-add, small-scalar widths) and generator
+derivation tests (pasta.rs:71-103).
+"""
+
+import random
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from spartan2_tpu.ec.curve import get_curve, tonelli_shanks
+from spartan2_tpu.ec.device import DeviceCurve
+from spartan2_tpu.field.limbs import ints_to_limbs_np
+
+CURVES = ["pallas", "bn254", "p256"]
+
+
+@pytest.mark.parametrize("name", CURVES)
+def test_host_group_law(name):
+    c = get_curve(name)
+    g = c.generator
+    assert c.is_on_curve(g)
+    rng = random.Random(7)
+    k1 = rng.randrange(1, c.scalar.modulus)
+    k2 = rng.randrange(1, c.scalar.modulus)
+    P1 = c.scalar_mul(k1, g)
+    P2 = c.scalar_mul(k2, g)
+    assert c.is_on_curve(P1) and c.is_on_curve(P2)
+    # additivity
+    assert c.add(P1, P2) == c.scalar_mul((k1 + k2) % c.scalar.modulus, g)
+    # order
+    assert c.scalar_mul(c.scalar.modulus, g) is None
+    # negation
+    assert c.add(P1, c.neg(P1)) is None
+
+
+@pytest.mark.parametrize("name", ["pallas"])
+def test_host_msm_vs_naive(name):
+    c = get_curve(name)
+    rng = random.Random(42)
+    gens = c.from_label(b"test", 8)
+    for g in gens:
+        assert c.is_on_curve(g)
+    scalars = [rng.randrange(c.scalar.modulus) for _ in gens]
+    expected = None
+    for s, pt in zip(scalars, gens):
+        expected = c.add(expected, c.scalar_mul(s, pt))
+    assert c.msm(scalars, gens) == expected
+
+
+def test_tonelli_shanks_general():
+    p = get_curve("pallas").base.modulus  # p = 1 mod 2^32: general path
+    rng = random.Random(3)
+    for _ in range(5):
+        a = rng.randrange(1, p)
+        sq = a * a % p
+        r = tonelli_shanks(sq, p)
+        assert r is not None and r * r % p == sq
+
+
+@pytest.mark.parametrize("name", ["pallas", "p256"])
+def test_device_group_law_vs_host(name):
+    c = get_curve(name)
+    dc = DeviceCurve(c)
+    rng = random.Random(11)
+    pts = [c.scalar_mul(rng.randrange(1, c.scalar.modulus), c.generator) for _ in range(4)]
+    P = dc.affine_to_device(pts)
+
+    # doubling
+    D = dc.dbl(P)
+    assert dc.to_affine_host(D) == [c.add(pt, pt) for pt in pts]
+
+    # add shifted
+    pts2 = pts[1:] + pts[:1]
+    Q = dc.affine_to_device(pts2)
+    S = dc.add(P, Q)
+    assert dc.to_affine_host(S) == [c.add(a, b) for a, b in zip(pts, pts2)]
+
+    # add edge cases: P + P (doubling branch), P + (-P) (infinity branch),
+    # P + inf, inf + P
+    S2 = dc.add(P, P)
+    assert dc.to_affine_host(S2) == [c.add(pt, pt) for pt in pts]
+    N = dc.neg(P)
+    S3 = dc.add(P, N)
+    assert dc.to_affine_host(S3) == [None] * 4
+    inf = dc.infinity((4,))
+    assert dc.to_affine_host(dc.add(P, inf)) == pts
+    assert dc.to_affine_host(dc.add(inf, P)) == pts
+
+
+def test_device_msm_vs_host():
+    c = get_curve("pallas")
+    dc = DeviceCurve(c)
+    rng = random.Random(13)
+    n = 8
+    gens = c.from_label(b"msm", n)
+    Qx = jnp.asarray(ints_to_limbs_np([g[0] for g in gens], c.base, mont=True))
+    Qy = jnp.asarray(ints_to_limbs_np([g[1] for g in gens], c.base, mont=True))
+
+    # full-width scalars
+    scalars = [rng.randrange(c.scalar.modulus) for _ in range(n)]
+    sc = jnp.asarray(ints_to_limbs_np(scalars, c.scalar, mont=False))
+    got = dc.to_affine_host(dc.msm(sc, Qx, Qy))[0]
+    assert got == c.msm(scalars, gens)
+
+    # small scalars (64-bit path)
+    small = [rng.randrange(1 << 63) for _ in range(n)]
+    sc_small = jnp.asarray(ints_to_limbs_np(small, c.scalar, mont=False))
+    got = dc.to_affine_host(dc.msm(sc_small, Qx, Qy, nbits=64))[0]
+    assert got == c.msm(small, gens)
+
+    # binary
+    bits = [rng.randrange(2) for _ in range(n)]
+    got = dc.to_affine_host(dc.msm_binary(jnp.asarray(np.array(bits, np.int32)), Qx, Qy))[0]
+    assert got == c.msm(bits, gens)
