@@ -1,0 +1,306 @@
+"""Split R1CS shapes, instances, witnesses (reference: src/r1cs/mod.rs).
+
+``SplitR1CSShape`` carries the padded constraint matrices and the
+shared / precommitted / rest witness segmentation with per-segment
+padding to the commitment width, total variables padded to a power of
+two, and constraints padded to a power of two
+(reference SplitR1CSShape::new, r1cs/mod.rs:810-911).
+
+Device path: matrices are preprocessed once into DeviceSpMV programs
+(gather + segment-sum kernels) for Az/Bz/Cz, and their transposes for
+the inner sum-check's poly_ABC = rx^T (A + r B + r^2 C) — the
+reference's transpose-bind (r1cs/mod.rs:1235-1398) becomes three SpMVs
+against the eq(r_x) table plus a Montgomery linear combination.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dfield
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..errors import SpartanError, UnSatError
+from ..field.constants import FieldSpec
+from ..field.jnp_ops import NL, FieldOps
+from ..field.limbs import ints_to_limbs_np
+from ..frontend.constraint_system import ConstraintSystem, SpartanCircuitAPI
+from ..pcs.hyrax import HyraxCommitment
+from ..transcript.transcript import Transcript
+from ..utils.jitcache import cached_jit
+from .sparse import DeviceSpMV, SparseMatrix
+
+DEFAULT_COMMITMENT_WIDTH = 2048  # reference lib.rs:63
+
+
+def pad_to_width(width: int, n: int) -> int:
+    """Round n up to the next multiple of width; 0 stays 0
+    (r1cs/mod.rs:304-311)."""
+    if n == 0:
+        return 0
+    return (n + width - 1) & ~(width - 1)
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(n - 1, 0).bit_length() if n > 0 else 1
+
+
+class SplitR1CSShape:
+    def __init__(self, field: FieldSpec, num_cons: int, num_shared: int,
+                 num_precommitted: int, num_rest: int, num_public: int,
+                 num_challenges: int, A: SparseMatrix, B: SparseMatrix,
+                 C: SparseMatrix, width: int = DEFAULT_COMMITMENT_WIDTH):
+        self.field = field
+        self.width = width
+
+        num_shared_p = pad_to_width(width, num_shared)
+        num_precommitted_p = pad_to_width(width, num_precommitted)
+        num_rest_p = pad_to_width(width, num_rest)
+
+        num_vars_p = num_shared_p + num_precommitted_p + num_rest_p
+        if num_vars_p < num_public + num_challenges + 1:
+            num_rest_p = max(num_public + num_challenges + 1, num_vars_p) - (
+                num_shared_p + num_precommitted_p
+            )
+        num_vars_p = num_shared_p + num_precommitted_p + num_rest_p
+        if _next_pow2(num_vars_p) != num_vars_p:
+            num_rest_p = _next_pow2(num_vars_p) - (num_shared_p + num_precommitted_p)
+
+        num_vars = num_shared + num_precommitted + num_rest
+        num_vars_p = num_shared_p + num_precommitted_p + num_rest_p
+        num_cons_p = _next_pow2(num_cons)
+
+        # re-index columns into the padded layout (r1cs/mod.rs:858-888)
+        def remap(col: int) -> int:
+            if col < num_shared:
+                return col
+            if col < num_shared + num_precommitted:
+                return col + num_shared_p - num_shared
+            if col < num_vars:
+                return col + (num_shared_p + num_precommitted_p) - (
+                    num_shared + num_precommitted
+                )
+            return col + num_vars_p - num_vars
+
+        def apply_pad(M: SparseMatrix) -> SparseMatrix:
+            indices = [remap(c) for c in M.indices]
+            indptr = list(M.indptr) + [M.indptr[-1]] * (num_cons_p - num_cons)
+            return SparseMatrix(field, list(M.data), indices, indptr,
+                                M.cols + num_vars_p - num_vars)
+
+        self.num_cons = num_cons_p
+        self.num_cons_unpadded = num_cons
+        self.num_shared_unpadded = num_shared
+        self.num_precommitted_unpadded = num_precommitted
+        self.num_rest_unpadded = num_rest
+        self.num_shared = num_shared_p
+        self.num_precommitted = num_precommitted_p
+        self.num_rest = num_rest_p
+        self.num_public = num_public
+        self.num_challenges = num_challenges
+        self.A = apply_pad(A)
+        self.B = apply_pad(B)
+        self.C = apply_pad(C)
+
+        self._device: Optional[dict] = None
+        self._ops: Optional[FieldOps] = None
+
+    # ------------------------------------------------------------------
+    @property
+    def num_vars(self) -> int:
+        return self.num_shared + self.num_precommitted + self.num_rest
+
+    @property
+    def num_cols(self) -> int:
+        """Matrix column count: vars + 1 + public + challenges."""
+        return self.num_vars + 1 + self.num_public + self.num_challenges
+
+    def sizes(self) -> list[int]:
+        return [
+            self.num_cons_unpadded, self.num_shared_unpadded,
+            self.num_precommitted_unpadded, self.num_rest_unpadded,
+            self.num_cons, self.num_shared, self.num_precommitted,
+            self.num_rest, self.num_public, self.num_challenges,
+        ]
+
+    @classmethod
+    def from_circuit(cls, circuit: SpartanCircuitAPI, field: FieldSpec,
+                     width: int = DEFAULT_COMMITMENT_WIDTH) -> "SplitR1CSShape":
+        """ShapeCS::r1cs_shape (bellpepper/r1cs.rs:134-231): run the 3
+        synthesis phases on a shape-only CS and collect CSR matrices."""
+        cs = ConstraintSystem(field, shape_mode=True)
+        shared = circuit.shared(cs)
+        num_shared = cs.num_aux
+        precommitted = circuit.precommitted(cs, shared)
+        num_precommitted = cs.num_aux - num_shared
+        circuit.synthesize(cs, shared, precommitted, None)
+        num_challenges = circuit.num_challenges()
+
+        num_vars = cs.num_aux
+        num_inputs = cs.num_inputs  # includes ONE
+        assert num_inputs > num_challenges
+        num_rest = num_vars - num_shared - num_precommitted
+
+        def var_col(var) -> int:
+            kind, idx = var
+            if kind == "aux":
+                return idx
+            if kind == "one":
+                return num_vars
+            return num_vars + idx  # input idx >= 1 offsets past ONE
+
+        p = field.modulus
+        mats = []
+        for pick in range(3):
+            entries = []
+            for row, cons in enumerate(cs.constraints):
+                comb = cons[pick]
+                for var, coeff in comb.items():
+                    if coeff % p != 0:
+                        entries.append((row, var_col(var), coeff % p))
+            mats.append(
+                SparseMatrix.from_coo(field, entries, len(cs.constraints),
+                                      num_vars + num_inputs)
+            )
+        return cls(
+            field, len(cs.constraints), num_shared, num_precommitted, num_rest,
+            num_inputs - 1 - num_challenges, num_challenges,
+            mats[0], mats[1], mats[2], width,
+        )
+
+    # ------------------------------------------------------------------
+    # device programs
+    # ------------------------------------------------------------------
+    def attach_device(self, ops: FieldOps) -> None:
+        if self._device is not None:
+            return
+        self._ops = ops
+        t = {}
+        t["A"] = DeviceSpMV.build(ops, self.A, self.num_cons)
+        t["B"] = DeviceSpMV.build(ops, self.B, self.num_cons)
+        t["C"] = DeviceSpMV.build(ops, self.C, self.num_cons)
+        # transposes over the 2*num_vars inner-sum-check domain
+        ny = 2 * self.num_vars
+        t["At"] = DeviceSpMV.build(ops, self._transpose(self.A, ny), ny)
+        t["Bt"] = DeviceSpMV.build(ops, self._transpose(self.B, ny), ny)
+        t["Ct"] = DeviceSpMV.build(ops, self._transpose(self.C, ny), ny)
+        self._device = t
+        self._mv_jit = None
+        self._abc_jit = None
+
+    def _transpose(self, M: SparseMatrix, rows_out: int) -> SparseMatrix:
+        entries = [(c, r, v) for r, c, v in M.iter_entries()]
+        return SparseMatrix.from_coo(self.field, entries, rows_out, self.num_cons)
+
+    def multiply_vec_device(self, z_mont: jnp.ndarray):
+        """(NL, num_cols) -> (Az, Bz, Cz) each (NL, num_cons), one fused
+        jitted call (reference multiply_vec, r1cs/mod.rs:1075-1107)."""
+        d = self._device
+        if self._mv_jit is None:
+            def f(z):
+                return (d["A"].multiply_vec(z), d["B"].multiply_vec(z),
+                        d["C"].multiply_vec(z))
+            self._mv_jit = cached_jit(f)
+        return self._mv_jit(z_mont)
+
+    def bind_and_prepare_poly_ABC_device(self, eq_rx: jnp.ndarray,
+                                         r_mont: jnp.ndarray) -> jnp.ndarray:
+        """poly_ABC[j] = sum_i eq_rx[i] * (A+rB+r^2C)[i,j] over the
+        2*num_vars domain (reference r1cs/mod.rs:1235-1398)."""
+        d = self._device
+        ops = self._ops
+        if self._abc_jit is None:
+            def f(eq, r):
+                a = d["At"].multiply_vec(eq)
+                b = d["Bt"].multiply_vec(eq)
+                c = d["Ct"].multiply_vec(eq)
+                nvars2 = a.shape[1]
+                rb = jnp.broadcast_to(r[:, None], (NL, nvars2))
+                return ops.add(a, ops.mont_mul(rb, ops.add(b, ops.mont_mul(rb, c))))
+            self._abc_jit = cached_jit(f)
+        return self._abc_jit(eq_rx, r_mont)
+
+    # ------------------------------------------------------------------
+    # host-side evaluation / satisfaction
+    # ------------------------------------------------------------------
+    def is_sat_host(self, z: list[int]) -> None:
+        p = self.field.modulus
+        az = self.A.multiply_vec_host(z)
+        bz = self.B.multiply_vec_host(z)
+        cz = self.C.multiply_vec_host(z)
+        for i, (a, b, c) in enumerate(zip(az, bz, cz)):
+            if a * b % p != c % p:
+                raise UnSatError(f"constraint {i} unsatisfied")
+
+    def evaluate_with_tables_fast(self, T_x: list[int], T_y: list[int]):
+        """Fused 3-matrix MLE evaluation at (T_x, T_y) tables
+        (r1cs/mod.rs:36-146, 1216-1226). Host-side: the verifier's cost
+        is O(nnz) big-int muls."""
+        p = self.field.modulus
+        out = []
+        for M in (self.A, self.B, self.C):
+            acc = 0
+            for row in range(M.rows):
+                s = 0
+                for k in range(M.indptr[row], M.indptr[row + 1]):
+                    s += M.data[k] * T_y[M.indices[k]]
+                acc = (acc + T_x[row] * s) % p
+            out.append(acc)
+        return tuple(out)
+
+
+@dataclass
+class SplitR1CSInstance:
+    """r1cs/mod.rs:797-806 SplitR1CSInstance."""
+
+    comm_W_shared: Optional[HyraxCommitment]
+    comm_W_precommitted: Optional[HyraxCommitment]
+    comm_W_rest: HyraxCommitment
+    public_values: list[int]
+    challenges: list[int]
+
+    def validate(self, S: SplitR1CSShape, pcs, transcript: Transcript) -> None:
+        """Re-derive challenges from the transcript and check commitment
+        shapes (r1cs/mod.rs:1490-1533)."""
+        if S.num_shared > 0:
+            if self.comm_W_shared is None:
+                raise SpartanError("comm_W_shared is missing")
+            pcs.check_commitment(self.comm_W_shared, S.num_shared, S.width)
+            transcript.absorb_bytes(
+                b"comm_W_shared", self.comm_W_shared.to_transcript_bytes(pcs.curve)
+            )
+        if S.num_precommitted > 0:
+            if self.comm_W_precommitted is None:
+                raise SpartanError("comm_W_precommitted is missing")
+            pcs.check_commitment(self.comm_W_precommitted, S.num_precommitted, S.width)
+            transcript.absorb_bytes(
+                b"comm_W_precommitted",
+                self.comm_W_precommitted.to_transcript_bytes(pcs.curve),
+            )
+        challenges = [transcript.squeeze(b"challenge") for _ in range(S.num_challenges)]
+        if challenges != self.challenges:
+            raise SpartanError("challenges do not match")
+        pcs.check_commitment(self.comm_W_rest, S.num_rest, S.width)
+        transcript.absorb_bytes(
+            b"comm_W_rest", self.comm_W_rest.to_transcript_bytes(pcs.curve)
+        )
+
+    def to_regular(self, pcs) -> tuple[HyraxCommitment, list[int]]:
+        """Combine partial commitments; X = public ++ challenges
+        (r1cs/mod.rs:1535-1553)."""
+        parts = [
+            cm for cm in (self.comm_W_shared, self.comm_W_precommitted,
+                          self.comm_W_rest) if cm is not None
+        ]
+        return pcs.combine_commitments(parts), self.public_values + self.challenges
+
+
+@dataclass
+class R1CSWitness:
+    """Witness: device Montgomery limbs + combined blind."""
+
+    W: jnp.ndarray  # (NL, num_vars) Montgomery form
+    r_W: object  # HyraxBlind
+    is_small: bool = False
+    W_host: Optional[list[int]] = dfield(default=None, repr=False)

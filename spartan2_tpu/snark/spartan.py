@@ -1,0 +1,425 @@
+"""SpartanSNARK (non-ZK): setup / prep_prove / prove / verify.
+
+Reference: src/spartan.rs.  The prover keeps bulk data device-resident:
+witness commits run through the batched MSM ladder, Az/Bz/Cz through the
+SpMV kernels, both sum-checks through device step functions that carry
+the Keccak transcript state on device (host and device transcripts are
+byte-identical, so the host verifier interoperates).
+
+Host <-> device sync points per proof: upload witness/z, pull 3 outer
+claims, pull per-round coefficient lists at the end of each sum-check,
+pull eval_Z — all O(rounds) scalars, matching the reference's
+"transcript consumes only O(rounds) data per phase" structure
+(SURVEY.md section 5).
+"""
+
+from __future__ import annotations
+
+import secrets
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..errors import SpartanError
+from ..field.jnp_ops import NL
+from ..field.limbs import ints_to_limbs_np, limbs_to_ints
+from ..frontend.constraint_system import ConstraintSystem
+from ..pcs.hyrax import HyraxBlind, HyraxCommitment, HyraxEvaluationArgument
+from ..polys.eq import eq_evals_device, eq_evals_host, eq_evaluate
+from ..polys.multilinear import sparse_poly_evaluate_host
+from ..polys.univariate import CompressedUniPoly, UniPoly
+from ..provider.engines import Engine
+from ..r1cs.shape import R1CSWitness, SplitR1CSInstance, SplitR1CSShape
+from ..sumcheck.prove import (
+    SpartanInnerRound0,
+    SumcheckProverCubic,
+    SumcheckProverQuad,
+)
+from ..sumcheck.verify import SumcheckProof
+from ..transcript.device import DeviceTranscript
+from ..transcript.transcript import Transcript
+from ..utils.digest import vk_digest
+
+
+def _log2(n: int) -> int:
+    assert n & (n - 1) == 0 and n > 0
+    return n.bit_length() - 1
+
+
+# ---------------------------------------------------------------------------
+# keys / prep state / proof
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class SpartanProverKey:
+    engine: Engine
+    S: SplitR1CSShape
+    ck: object
+    ck_s: object
+    vk_digest: bytes
+
+
+@dataclass
+class SpartanVerifierKey:
+    engine: Engine
+    S: SplitR1CSShape
+    vk_ee: object  # Hyrax verifier key (same generators as ck)
+    ck_s: object
+    digest: bytes
+
+
+@dataclass
+class PrecommittedState:
+    """bellpepper/r1cs.rs:290-301: witness prefix + partial commitments."""
+
+    cs: ConstraintSystem
+    shared: list
+    precommitted: list
+    W: list  # host ints, length num_vars (padded layout)
+    comm_W_shared: Optional[HyraxCommitment] = None
+    r_W_shared: Optional[HyraxBlind] = None
+    comm_W_precommitted: Optional[HyraxCommitment] = None
+    r_W_precommitted: Optional[HyraxBlind] = None
+
+
+@dataclass
+class SpartanPrepSNARK:
+    ps: PrecommittedState
+
+
+@dataclass
+class SpartanSNARKProof:
+    U: SplitR1CSInstance
+    sc_proof_outer: SumcheckProof
+    claims_outer: tuple  # (Az, Bz, Cz) at r_x
+    sc_proof_inner: SumcheckProof
+    eval_W: int
+    blind_eval_W: HyraxBlind  # non-ZK: blind is sent (spartan.rs:136)
+    eval_arg: HyraxEvaluationArgument
+
+
+# ---------------------------------------------------------------------------
+# witness machinery (bellpepper/r1cs.rs SpartanWitness equivalents)
+# ---------------------------------------------------------------------------
+
+
+def _upload_mont(engine: Engine, vals: list[int]) -> jnp.ndarray:
+    return jnp.asarray(ints_to_limbs_np(vals, engine.scalar, mont=True))
+
+
+def shared_witness(engine: Engine, S: SplitR1CSShape, ck, circuit,
+                   is_small: bool, rng=None) -> PrecommittedState:
+    """bellpepper/r1cs.rs:306-357."""
+    cs = ConstraintSystem(engine.scalar, shape_mode=False)
+    W = [0] * S.num_vars
+    shared = circuit.shared(cs)
+    if len(cs.aux_assignment) < S.num_shared_unpadded:
+        raise SpartanError("shared variables not allocated correctly")
+    W[: S.num_shared_unpadded] = cs.aux_assignment[: S.num_shared_unpadded]
+
+    comm = blind = None
+    if S.num_shared_unpadded > 0:
+        blind = engine.pcs.blind(ck, S.num_shared, rng=rng)
+        comm = engine.pcs.commit(
+            ck, _upload_mont(engine, W[: S.num_shared]), blind, is_small
+        )
+    return PrecommittedState(cs=cs, shared=shared, precommitted=[], W=W,
+                             comm_W_shared=comm, r_W_shared=blind)
+
+
+def precommitted_witness(engine: Engine, ps: PrecommittedState,
+                         S: SplitR1CSShape, ck, circuit, is_small: bool,
+                         rng=None) -> None:
+    """bellpepper/r1cs.rs:359-409."""
+    precommitted = circuit.precommitted(ps.cs, ps.shared)
+    aux = ps.cs.aux_assignment
+    lo = S.num_shared_unpadded
+    if len(aux) - lo < S.num_precommitted_unpadded:
+        raise SpartanError("precommitted variables not allocated correctly")
+    ps.W[S.num_shared : S.num_shared + S.num_precommitted_unpadded] = aux[
+        lo : lo + S.num_precommitted_unpadded
+    ]
+    if S.num_precommitted_unpadded > 0:
+        blind = engine.pcs.blind(ck, S.num_precommitted, rng=rng)
+        seg = ps.W[S.num_shared : S.num_shared + S.num_precommitted]
+        ps.comm_W_precommitted = engine.pcs.commit(
+            ck, _upload_mont(engine, seg), blind, is_small
+        )
+        ps.r_W_precommitted = blind
+    ps.precommitted = precommitted
+
+
+def r1cs_instance_and_witness(engine: Engine, ps: PrecommittedState,
+                              S: SplitR1CSShape, ck, circuit, is_small: bool,
+                              transcript: Transcript, rng=None):
+    """bellpepper/r1cs.rs:411-537: absorb partial commitments, squeeze
+    challenges, synthesize the rest, commit it."""
+    pcs = engine.pcs
+    if ps.comm_W_shared is not None:
+        transcript.absorb_bytes(
+            b"comm_W_shared", ps.comm_W_shared.to_transcript_bytes(engine.curve)
+        )
+    if ps.comm_W_precommitted is not None:
+        transcript.absorb_bytes(
+            b"comm_W_precommitted",
+            ps.comm_W_precommitted.to_transcript_bytes(engine.curve),
+        )
+    challenges = [transcript.squeeze(b"challenge") for _ in range(S.num_challenges)]
+
+    skip_synthesize = S.num_rest_unpadded == 0 and not challenges
+    if not skip_synthesize:
+        prep_aux = S.num_shared_unpadded + S.num_precommitted_unpadded
+        del ps.cs.aux_assignment[prep_aux:]
+        del ps.cs.input_assignment[1:]
+        circuit.synthesize(ps.cs, ps.shared, ps.precommitted,
+                           challenges if challenges else None)
+        lo = S.num_shared + S.num_precommitted
+        src = S.num_shared_unpadded + S.num_precommitted_unpadded
+        ps.W[lo : lo + S.num_rest_unpadded] = ps.cs.aux_assignment[
+            src : src + S.num_rest_unpadded
+        ]
+
+    r_W_rest = pcs.blind(ck, S.num_rest, rng=rng)
+    lo = S.num_shared + S.num_precommitted
+    if S.num_rest_unpadded == 0:
+        comm_W_rest = pcs.commit_zeros(ck, S.num_rest, r_W_rest)
+        actual_small = True
+    else:
+        rest = ps.W[lo : lo + S.num_rest]
+        actual_small = is_small or all(
+            v < (1 << 64) for v in ps.W[lo : lo + S.num_rest_unpadded]
+        )
+        comm_W_rest = pcs.commit(ck, _upload_mont(engine, rest), r_W_rest,
+                                 actual_small)
+    transcript.absorb_bytes(
+        b"comm_W_rest", comm_W_rest.to_transcript_bytes(engine.curve)
+    )
+
+    if skip_synthesize:
+        public_values = circuit.public_values()
+    else:
+        public_values = ps.cs.input_assignment[1 : 1 + S.num_public]
+
+    U = SplitR1CSInstance(
+        comm_W_shared=ps.comm_W_shared,
+        comm_W_precommitted=ps.comm_W_precommitted,
+        comm_W_rest=comm_W_rest,
+        public_values=public_values,
+        challenges=challenges,
+    )
+    blinds = [b for b in (ps.r_W_shared, ps.r_W_precommitted) if b is not None]
+    blinds.append(r_W_rest)
+    r_W = pcs.combine_blinds(blinds)
+    W = R1CSWitness(W=_upload_mont(engine, ps.W), r_W=r_W,
+                    is_small=actual_small, W_host=list(ps.W))
+    return U, W
+
+
+# ---------------------------------------------------------------------------
+# SNARK
+# ---------------------------------------------------------------------------
+
+
+class SpartanSNARK:
+    """R1CSSNARKTrait equivalent (traits/snark.rs:15-51)."""
+
+    @staticmethod
+    def setup(engine: Engine, circuit, width: int = 2048):
+        S = SplitR1CSShape.from_circuit(circuit, engine.scalar, width)
+        S.attach_device(engine.fs)
+        ck, vk_ee = engine.pcs.setup(b"ck", S.num_vars, width)
+        ck_s, _ = engine.pcs.setup(b"ck_s", 1, 1)
+        digest = vk_digest(S, ck, ck_s)
+        pk = SpartanProverKey(engine, S, ck, ck_s, digest)
+        vk = SpartanVerifierKey(engine, S, vk_ee, ck_s, digest)
+        return pk, vk
+
+    @staticmethod
+    def prep_prove(pk: SpartanProverKey, circuit, is_small: bool = False,
+                   rng=None) -> SpartanPrepSNARK:
+        ps = shared_witness(pk.engine, pk.S, pk.ck, circuit, is_small, rng)
+        precommitted_witness(pk.engine, ps, pk.S, pk.ck, circuit, is_small, rng)
+        return SpartanPrepSNARK(ps=ps)
+
+    @staticmethod
+    def prove(pk: SpartanProverKey, circuit, prep: SpartanPrepSNARK,
+              is_small: bool = False, rng=None):
+        engine = pk.engine
+        S = pk.S
+        ops = engine.fs
+        p = engine.scalar.modulus
+
+        transcript = engine.transcript(b"SpartanSNARK")
+        transcript.absorb_bytes(b"vk", pk.vk_digest)
+        public_values = circuit.public_values()
+        transcript.absorb_scalars(b"public_values", public_values)
+
+        U, W = r1cs_instance_and_witness(
+            engine, prep.ps, S, pk.ck, circuit, is_small, transcript, rng
+        )
+
+        # z = (W, 1, public, challenges), zero-padded to 2 * num_vars
+        num_vars = S.num_vars
+        z_host = (W.W_host + [1] + U.public_values + U.challenges)
+        z_host += [0] * (2 * num_vars - len(z_host))
+        z = _upload_mont(engine, z_host)
+
+        num_rounds_x = _log2(S.num_cons)
+        num_rounds_y = _log2(num_vars) + 1
+
+        taus = [transcript.squeeze(b"t") for _ in range(num_rounds_x)]
+
+        Az, Bz, Cz = S.multiply_vec_device(z[:, : S.num_cols])
+
+        # ---- outer sum-check (device rounds, device transcript) ----
+        taus_dev = _upload_mont(engine, taus)
+        eq_tau = eq_evals_device(ops, taus_dev)
+        td = DeviceTranscript(ops, state=jnp.asarray(
+            np.frombuffer(transcript.state, np.uint8)), round=transcript.round)
+        zero = ops.const(0)
+        prover_cubic = SumcheckProverCubic(ops)
+        coeffs_outer, r_x_dev, finals_outer, _ = prover_cubic.prove(
+            td, eq_tau, Az, Bz, Cz, zero
+        )
+        transcript.state = np.asarray(td.state).tobytes()
+        transcript.round = td.round
+
+        claim_Az, claim_Bz, claim_Cz = (
+            limbs_to_ints(np.asarray(f), engine.scalar, mont=True)[0]
+            for f in finals_outer
+        )
+        transcript.absorb_scalars(b"claims_outer", [claim_Az, claim_Bz, claim_Cz])
+
+        # ---- inner sum-check ----
+        r = transcript.squeeze(b"r")
+        claim_inner = (claim_Az + r * claim_Bz + r * r * claim_Cz) % p
+
+        eq_rx = eq_evals_device(ops, jnp.stack(r_x_dev, axis=1))
+        r_mont = _upload_mont(engine, [r])[:, 0]
+        poly_ABC = S.bind_and_prepare_poly_ABC_device(eq_rx, r_mont)
+
+        num_extra = 1 + S.num_public + S.num_challenges
+        td = DeviceTranscript(ops, state=jnp.asarray(
+            np.frombuffer(transcript.state, np.uint8)), round=transcript.round)
+        inner0 = SpartanInnerRound0(ops)
+        claim_dev = _upload_mont(engine, [claim_inner])[:, 0]
+        abc_b, z_b, claim_dev, r0_dev, coeffs_r0 = inner0.run(
+            td, poly_ABC, z, claim_dev, num_vars, num_extra
+        )
+        prover_quad = SumcheckProverQuad(ops)
+        coeffs_inner, r_y_dev, finals_inner, _ = prover_quad.prove(
+            td, abc_b, z_b, claim_dev, num_rounds_y - 1
+        )
+        transcript.state = np.asarray(td.state).tobytes()
+        transcript.round = td.round
+
+        # pull round polynomials and challenges to host
+        def pull_poly(c) -> UniPoly:
+            vals = limbs_to_ints(np.asarray(c), engine.scalar, mont=True)
+            return UniPoly(engine.scalar, vals)
+
+        sc_proof_outer = SumcheckProof(
+            engine.scalar, [pull_poly(c).compress() for c in coeffs_outer]
+        )
+        inner_polys = [pull_poly(coeffs_r0).compress()] + [
+            pull_poly(c).compress() for c in coeffs_inner
+        ]
+        sc_proof_inner = SumcheckProof(engine.scalar, inner_polys)
+
+        r_y0 = limbs_to_ints(np.asarray(r0_dev), engine.scalar, mont=True)[0]
+        r_y_rest = [
+            limbs_to_ints(np.asarray(rv), engine.scalar, mont=True)[0]
+            for rv in r_y_dev
+        ]
+        r_y = [r_y0] + r_y_rest
+
+        eval_Z = limbs_to_ints(np.asarray(finals_inner[1]), engine.scalar,
+                               mont=True)[0]
+
+        # eval_W = (eval_Z - r_y[0] * eval_X) / (1 - r_y[0])  (Z = (W, 1, X))
+        X = U.public_values + U.challenges
+        eval_X = sparse_poly_evaluate_host(
+            engine.scalar, num_rounds_y - 1, [1] + X, r_y[1:]
+        )
+        denom = (1 - r_y[0]) % p
+        if denom == 0:
+            raise SpartanError("division by zero in eval_W")
+        eval_W = (eval_Z - r_y[0] * eval_X) * pow(denom, -1, p) % p
+
+        # ---- PCS evaluation proof ----
+        blind_eval_W = engine.pcs.blind(pk.ck_s, 1, rng=rng)
+        comm_eval_W = engine.pcs.commit_host(pk.ck_s, [eval_W], blind_eval_W)
+        comm_W, _ = U.to_regular(engine.pcs)
+        eval_arg = engine.pcs.prove(
+            pk.ck, pk.ck_s, transcript, comm_W, W.W, W.r_W, r_y[1:],
+            comm_eval_W, blind_eval_W, rng=rng,
+        )
+
+        proof = SpartanSNARKProof(
+            U=U,
+            sc_proof_outer=sc_proof_outer,
+            claims_outer=(claim_Az, claim_Bz, claim_Cz),
+            sc_proof_inner=sc_proof_inner,
+            eval_W=eval_W,
+            blind_eval_W=blind_eval_W,
+            eval_arg=eval_arg,
+        )
+        return proof, prep
+
+    @staticmethod
+    def verify(proof: SpartanSNARKProof, vk: SpartanVerifierKey) -> list[int]:
+        """Reference verify (spartan.rs:469-578). Fully host-side."""
+        engine = vk.engine
+        S = vk.S
+        p = engine.scalar.modulus
+        transcript = engine.transcript(b"SpartanSNARK")
+        transcript.absorb_bytes(b"vk", vk.digest)
+        transcript.absorb_scalars(b"public_values", proof.U.public_values)
+
+        proof.U.validate(S, engine.pcs, transcript)
+        comm_W, X = proof.U.to_regular(engine.pcs)
+
+        num_vars = S.num_vars
+        num_rounds_x = _log2(S.num_cons)
+        num_rounds_y = _log2(num_vars) + 1
+
+        taus = [transcript.squeeze(b"t") for _ in range(num_rounds_x)]
+
+        claim_outer_final, r_x = proof.sc_proof_outer.verify(
+            0, num_rounds_x, 3, transcript
+        )
+        claim_Az, claim_Bz, claim_Cz = proof.claims_outer
+        taus_bound_rx = eq_evaluate(engine.scalar, taus, r_x)
+        expected = taus_bound_rx * (claim_Az * claim_Bz - claim_Cz) % p
+        if claim_outer_final % p != expected:
+            raise SpartanError("invalid outer sum-check claim")
+
+        transcript.absorb_scalars(b"claims_outer",
+                                  [claim_Az, claim_Bz, claim_Cz])
+
+        r = transcript.squeeze(b"r")
+        claim_inner = (claim_Az + r * claim_Bz + r * r * claim_Cz) % p
+        claim_inner_final, r_y = proof.sc_proof_inner.verify(
+            claim_inner, num_rounds_y, 2, transcript
+        )
+
+        eval_X = sparse_poly_evaluate_host(
+            engine.scalar, num_rounds_y - 1, [1] + X, r_y[1:]
+        )
+        eval_Z = ((1 - r_y[0]) * proof.eval_W + r_y[0] * eval_X) % p
+
+        T_x = eq_evals_host(engine.scalar, r_x)
+        T_y = eq_evals_host(engine.scalar, r_y)
+        eval_A, eval_B, eval_C = S.evaluate_with_tables_fast(T_x, T_y)
+        expected_inner = (eval_A + r * eval_B + r * r * eval_C) * eval_Z % p
+        if claim_inner_final % p != expected_inner:
+            raise SpartanError("invalid inner sum-check claim")
+
+        comm_eval_W = engine.pcs.commit_host(vk.ck_s, [proof.eval_W],
+                                             proof.blind_eval_W)
+        engine.pcs.verify(vk.vk_ee, vk.ck_s, transcript, comm_W, r_y[1:],
+                          comm_eval_W, proof.eval_arg)
+        return list(proof.U.public_values)

@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..field.jnp_ops import NL, FieldOps
+from ..utils.jitcache import cached_jit
 from ..transcript.device import DeviceTranscript
 
 
@@ -145,7 +146,7 @@ class SumcheckProverCubic:
             C_n = ops.add(C_l, ops.mont_mul(rb, C_d))
             return eq_n, A_n, B_n, C_n, new_claim, r, coeffs, td.state
 
-        return jax.jit(step)
+        return cached_jit(step)
 
     def prove(self, td: DeviceTranscript, eq, A, Bp, C, claim):
         """Run all rounds; returns (coeff list, r list, final evals, claim)."""
@@ -197,7 +198,7 @@ class SumcheckProverQuad:
             B_n = ops.add(B_l, ops.mont_mul(rb, B_d))
             return A_n, B_n, new_claim, r, coeffs, td.state
 
-        return jax.jit(step)
+        return cached_jit(step)
 
     def prove(self, td: DeviceTranscript, A, Bp, claim, num_rounds: int):
         n = A.shape[1]
@@ -213,3 +214,64 @@ class SumcheckProverQuad:
             n //= 2
         finals = (A[:, 0], Bp[:, 0])
         return coeffs_out, r_out, finals, claim
+
+
+class SpartanInnerRound0:
+    """The manual BDDT first round of Spartan's inner sum-check
+    (reference spartan.rs:326-394).
+
+    The virtual 2*num_vars-sized polynomials are (poly_ABC, z) where
+    only the first num_extra = 1 + num_public + num_challenges entries
+    of the top half are non-zero; round 0 exploits that structure:
+    evaluation needs one num_vars-sized product sum plus num_extra
+    correction terms, and the bind collapses to (1 - r0)-scaling for
+    j >= num_extra.
+    """
+
+    def __init__(self, ops: FieldOps):
+        self.ops = ops
+
+    @functools.lru_cache(maxsize=None)
+    def _step(self, num_vars: int, num_extra: int, t_round: int):
+        ops = self.ops
+
+        def step(abc, z, claim, tstate):
+            abc_lo, abc_hi = abc[:, :num_vars], abc[:, num_vars:]
+            z_lo, z_hi = z[:, :num_vars], z[:, num_vars:]
+            eval0 = ops.sum_products(abc_lo, z_lo)
+            a_l, a_h = abc_lo[:, :num_extra], abc_hi[:, :num_extra]
+            z_l, z_h = z_lo[:, :num_extra], z_hi[:, :num_extra]
+            corr_low = ops.sum_products(a_l, z_l)
+            corr_cross = ops.sum_products(ops.sub(a_h, a_l), ops.sub(z_h, z_l))
+            t_inf = ops.add(ops.sub(eval0, corr_low), corr_cross)
+            e2 = ops.add(ops.sub(ops.double(claim),
+                                 ops.add(ops.double(eval0), eval0)),
+                         ops.double(t_inf))
+            e1 = ops.sub(claim, eval0)
+            coeffs = from_evals3_dev(ops, eval0, e1, e2)
+
+            td = DeviceTranscript(ops, state=tstate, round=t_round)
+            absorb_unipoly(td, coeffs)
+            r0 = td.squeeze_mont(b"c")
+            new_claim = unipoly_eval_dev(ops, coeffs, r0)
+
+            one = ops.const(ops.spec.r_mod, ())
+            one_minus = ops.sub(one, r0)
+            rb = jnp.broadcast_to(r0[:, None], (NL, num_extra))
+            omb = jnp.broadcast_to(one_minus[:, None], (NL, num_vars - num_extra))
+            abc_head = ops.add(a_l, ops.mont_mul(rb, ops.sub(a_h, a_l)))
+            z_head = ops.add(z_l, ops.mont_mul(rb, ops.sub(z_h, z_l)))
+            abc_tail = ops.mont_mul(omb, abc_lo[:, num_extra:])
+            z_tail = ops.mont_mul(omb, z_lo[:, num_extra:])
+            abc_new = jnp.concatenate([abc_head, abc_tail], axis=1)
+            z_new = jnp.concatenate([z_head, z_tail], axis=1)
+            return abc_new, z_new, new_claim, r0, coeffs, td.state
+
+        return cached_jit(step)
+
+    def run(self, td: DeviceTranscript, abc, z, claim, num_vars: int, num_extra: int):
+        step = self._step(num_vars, num_extra, td.round)
+        abc, z, claim, r0, coeffs, tstate = step(abc, z, claim, td.state)
+        td.state = tstate
+        td.round += 1
+        return abc, z, claim, r0, coeffs

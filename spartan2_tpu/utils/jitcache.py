@@ -42,9 +42,10 @@ def _backend_fingerprint() -> str:
 
 
 class _CachedFn:
-    def __init__(self, fn, static_argnums=()):
+    def __init__(self, fn, static_argnums=(), devices=None):
         self._jitted = jax.jit(fn, static_argnums=static_argnums)
         self._static = set(static_argnums)
+        self._devices = devices  # execution devices for deserialization
         self._exes: dict = {}
 
     def _argkey(self, args):
@@ -83,11 +84,12 @@ class _CachedFn:
 
                 with open(path, "rb") as f:
                     serialized, in_tree, out_tree = pickle.load(f)
-                # pin execution to device 0: these kernels are single-device
-                # programs even when the platform exposes a virtual mesh
+                # single-device programs pin to device 0 even when the
+                # platform exposes a virtual mesh; sharded programs pass
+                # their mesh devices via cached_jit(devices=...)
+                devs = self._devices if self._devices is not None else jax.devices()[:1]
                 return deserialize_and_load(
-                    serialized, in_tree, out_tree,
-                    execution_devices=jax.devices()[:1],
+                    serialized, in_tree, out_tree, execution_devices=list(devs),
                 )
             except Exception:
                 pass  # stale/incompatible entry: fall through to recompile
@@ -106,6 +108,10 @@ class _CachedFn:
         return compiled
 
 
-def cached_jit(fn, static_argnums=()):
-    """jax.jit with a deterministic on-disk executable cache."""
-    return _CachedFn(fn, static_argnums)
+def cached_jit(fn, static_argnums=(), devices=None):
+    """jax.jit with a deterministic on-disk executable cache.
+
+    ``devices``: execution devices for deserialized sharded programs
+    (default: single device 0).
+    """
+    return _CachedFn(fn, static_argnums, devices)
