@@ -410,6 +410,60 @@ class HyraxPCS:
             raise SpartanError("IPA verify: second equation failed")
 
     # ------------------------------------------------------------------
+    # direct openings (hyrax_pc.rs:609-711): RLC of row commitments —
+    # width+1 scalars per opening instead of an IPA
+    # ------------------------------------------------------------------
+    def prove_direct(self, ck: HyraxCommitmentKey, poly: list[int],
+                     blind: HyraxBlind, point: list[int]) -> tuple[list[int], int]:
+        """Returns (v, combined_blind): v = L * poly-as-matrix; the
+        evaluation is <v, eq(point_right)>."""
+        scalar = self.curve.scalar
+        p = scalar.modulus
+        num_cols = ck.num_cols
+        n = 1 << len(point)
+        num_rows = _div_ceil(n, num_cols)
+        if num_rows == 1:
+            v = list(poly) + [0] * (num_cols - len(poly))
+            return v, blind.blind[0]
+        num_vars_rows = num_rows.bit_length() - 1
+        L = eq_evals_host(scalar, point[:num_vars_rows])
+        padded = list(poly) + [0] * (n - len(poly))
+        v = [0] * num_cols
+        for r_i, l in enumerate(L):
+            row = padded[r_i * num_cols : (r_i + 1) * num_cols]
+            for j in range(num_cols):
+                v[j] = (v[j] + l * row[j]) % p
+        combined = sum(l * b for l, b in zip(L, blind.blind)) % p
+        return v, combined
+
+    def verify_direct(self, vk: HyraxVerifierKey, comm: HyraxCommitment,
+                      v: list[int], combined_blind: int,
+                      point: list[int]) -> int:
+        """Checks the RLC against row commitments; returns the evaluation
+        <v, eq(point_right)>."""
+        scalar = self.curve.scalar
+        p = scalar.modulus
+        num_cols = vk.num_cols
+        if len(v) != num_cols:
+            raise SpartanError("direct opening: v length mismatch")
+        n = 1 << len(point)
+        num_rows = _div_ceil(n, num_cols)
+        num_vars_rows = num_rows.bit_length() - 1
+        if num_vars_rows == 0:
+            comm_LZ = comm.comm[0]
+        else:
+            L = eq_evals_host(scalar, point[:num_vars_rows])
+            comm_LZ = self._msm_auto(L[: len(comm.comm)], comm.comm)
+        expected = self.curve.add(
+            self._msm_auto(v, vk.ck[: len(v)]),
+            self.curve.scalar_mul(combined_blind, vk.h),
+        )
+        if comm_LZ != expected:
+            raise SpartanError("direct opening: commitment mismatch")
+        Rv = eq_evals_host(scalar, point[num_vars_rows:])
+        return sum(x * y for x, y in zip(v, Rv)) % p
+
+    # ------------------------------------------------------------------
     # folding support (FoldingEngineTrait, traits/pcs.rs:204-232)
     # ------------------------------------------------------------------
     def fold_commitments(self, comms: list[HyraxCommitment],
