@@ -1,48 +1,50 @@
-"""Benchmark: device sum-check prover throughput (reference hot loop #1).
+"""Benchmark harness (reference: benches/sha256_spartan.rs).
 
-Runs the quad sum-check prover (BDDT two-sums-per-round, device-resident
-Keccak transcript) on a 2^SIZE hypercube — the same workload as the
-reference's sum-check perf tests (src/sumcheck.rs:1431-1573, sizes
-2^16..2^24) — and reports field-multiplications per second.
+Default workload: SpartanSNARK prove latency over the SHA-256 circuit —
+the reference's headline benchmark.  ``prove`` excludes setup and
+prep_prove (witness prefix synthesis + precommitted commits), matching
+the reference's criterion target which benches prove() with a reused
+PrepSNARK (benches/sha256_spartan.rs:219-236).
+
+Env knobs:
+  BENCH_WORKLOAD   sha256_prove (default) | sumcheck
+  BENCH_PREIMAGE_BYTES   preimage size for sha256_prove (default 8;
+                         reference uses 1024/2048)
+  BENCH_SIZE       log2 hypercube size for sumcheck (default 20)
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 ``vs_baseline``: the reference publishes no absolute numbers
-(BASELINE.md); we normalize against a documented estimate of the Rust
-prover on a 16-core x86 host: ~4e8 field-muls/s (256-bit field, delayed
-reduction, ~25ns/mul/core amortized).
+(BASELINE.md); we normalize against documented estimates of the Rust
+prover on a 16-core x86 host.
 """
 
 import json
 import os
 import time
 
-import numpy as np
 
-SIZE = int(os.environ.get("BENCH_SIZE", "20"))
-RUST_BASELINE_MULS_PER_S = 4.0e8
-
-
-def main() -> None:
+def bench_sumcheck():
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from spartan2_tpu.field.constants import get_field
     from spartan2_tpu.field.jnp_ops import NL, FieldOps
     from spartan2_tpu.sumcheck.prove import SumcheckProverQuad
     from spartan2_tpu.transcript.device import DeviceTranscript
 
+    size = int(os.environ.get("BENCH_SIZE", "20"))
     ops = FieldOps(get_field("pallas_scalar"))
-    n = 1 << SIZE
+    n = 1 << size
     rng = np.random.default_rng(0)
     A = jnp.asarray(rng.integers(0, 4096, (NL, n), dtype=np.int32))
     B = jnp.asarray(rng.integers(0, 4096, (NL, n), dtype=np.int32))
-
     prover = SumcheckProverQuad(ops)
 
     def run():
         td = DeviceTranscript(ops, label=b"bench")
         claim = ops.sum_products(A, B)
-        coeffs, rs, finals, claim_out = prover.prove(td, A, B, claim, SIZE)
+        coeffs, rs, finals, claim_out = prover.prove(td, A, B, claim, size)
         return jax.block_until_ready(finals[0])
 
     run()  # warm-up: compiles every round size
@@ -51,17 +53,63 @@ def main() -> None:
     for _ in range(iters):
         run()
     dt = (time.time() - t0) / iters
-
-    # per round at size m: t0 (m/2 muls) + t_inf (m/2) + two binds (2*m/2)
-    # = 2m; sum over rounds = 4n; plus the initial claim (n) = 5n.
-    field_muls = 5 * n
+    field_muls = 5 * n  # 2 sums + 2 binds per round, halving; + initial claim
     value = field_muls / dt
-    print(json.dumps({
-        "metric": f"sumcheck_quad_2^{SIZE}_field_muls_per_s",
+    # Rust estimate: ~4e8 field-muls/s on a 16-core x86 host (256-bit
+    # field, delayed reduction, ~25 ns/mul/core amortized).
+    return {
+        "metric": f"sumcheck_quad_2^{size}_field_muls_per_s",
         "value": round(value, 1),
         "unit": "field_muls/s",
-        "vs_baseline": round(value / RUST_BASELINE_MULS_PER_S, 4),
-    }))
+        "vs_baseline": round(value / 4.0e8, 4),
+    }
+
+
+def bench_sha256_prove():
+    import random
+
+    from spartan2_tpu.frontend.gadgets.sha256 import Sha256Circuit
+    from spartan2_tpu.provider.engines import get_engine
+    from spartan2_tpu.snark.spartan import SpartanSNARK
+
+    n_bytes = int(os.environ.get("BENCH_PREIMAGE_BYTES", "8"))
+    preimage = bytes(i & 0xFF for i in range(n_bytes))
+    circuit = Sha256Circuit(preimage)
+    engine = get_engine("PallasHyraxEngine")
+
+    det = lambda seed: (lambda q, r=random.Random(seed).randrange: r(q))
+    pk, vk = SpartanSNARK.setup(engine, circuit, width=2048)
+    prep = SpartanSNARK.prep_prove(pk, circuit, is_small=True, rng=det(1))
+
+    # warm-up prove (compiles all per-round kernels once; cached on disk)
+    proof, prep = SpartanSNARK.prove(pk, circuit, prep, is_small=True, rng=det(2))
+    assert SpartanSNARK.verify(proof, vk) == circuit.public_values()
+
+    iters = 3
+    t0 = time.time()
+    for i in range(iters):
+        proof, prep = SpartanSNARK.prove(pk, circuit, prep, is_small=True,
+                                         rng=det(3 + i))
+    dt = (time.time() - t0) / iters
+    # Rust estimate for this workload class: ~50 ms/block prove on a
+    # 16-core x86 host (no published numbers; see BASELINE.md).
+    blocks = (n_bytes + 9 + 63) // 64
+    baseline_s = 0.05 * blocks
+    return {
+        "metric": f"sha256_{n_bytes}B_spartan_prove_latency",
+        "value": round(dt, 4),
+        "unit": "s",
+        "vs_baseline": round(baseline_s / dt, 4),  # >1 means faster than est.
+    }
+
+
+def main() -> None:
+    workload = os.environ.get("BENCH_WORKLOAD", "sha256_prove")
+    if workload == "sumcheck":
+        result = bench_sumcheck()
+    else:
+        result = bench_sha256_prove()
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -22,19 +22,38 @@ def _bind(field: FieldSpec, arr: list[int], r: int) -> list[int]:
     return [(arr[j] + r * (arr[half + j] - arr[j])) % p for j in range(half)]
 
 
+def _default_challenge_fn(transcript: Transcript):
+    """Plain Fiat-Shamir: absorb the round poly, squeeze the challenge."""
+
+    def fn(round_index: int, poly: UniPoly) -> int:
+        transcript.absorb_bytes(b"p", poly.to_transcript_bytes())
+        return transcript.squeeze(b"c")
+
+    return fn
+
+
 def prove_cubic_with_three_inputs(
     field: FieldSpec, claim: int, taus: list[int],
-    Az: list[int], Bz: list[int], Cz: list[int], transcript: Transcript,
+    Az: list[int], Bz: list[int], Cz: list[int],
+    transcript: Transcript = None, challenge_fn=None,
 ) -> tuple[SumcheckProof, list[int], list[int]]:
     """claim = sum_x eq(tau, x) * (Az(x) * Bz(x) - Cz(x))
-    (reference prove_cubic_with_three_inputs, sumcheck.rs:502-571)."""
+    (reference prove_cubic_with_three_inputs, sumcheck.rs:502-571).
+
+    ``challenge_fn(round_index, poly) -> r`` overrides plain Fiat-Shamir —
+    the ZK wrappers route each round's polynomial through the verifier
+    circuit's commit-then-challenge protocol instead (sumcheck.rs:575-640).
+    """
     from ..polys.eq import eq_evals_host
 
     p = field.modulus
+    if challenge_fn is None:
+        challenge_fn = _default_challenge_fn(transcript)
     eq = eq_evals_host(field, taus)
     Az, Bz, Cz = list(Az), list(Bz), list(Cz)
     e = claim % p
     polys, rs = [], []
+    round_index = 0
     while len(Az) > 1:
         half = len(Az) // 2
 
@@ -52,8 +71,8 @@ def prove_cubic_with_three_inputs(
         t2 = eval_at(2)
         t3 = eval_at(3)
         poly = UniPoly.from_evals_deg3(field, [t0, (e - t0) % p, t2, t3])
-        transcript.absorb_bytes(b"p", poly.to_transcript_bytes())
-        r = transcript.squeeze(b"c")
+        r = challenge_fn(round_index, poly)
+        round_index += 1
         rs.append(r)
         e = poly.evaluate(r)
         eq, Az, Bz, Cz = (_bind(field, v, r) for v in (eq, Az, Bz, Cz))
@@ -65,11 +84,14 @@ def prove_cubic_with_three_inputs(
 
 def prove_quad(
     field: FieldSpec, claim: int, num_rounds: int,
-    A: list[int], B: list[int], transcript: Transcript,
+    A: list[int], B: list[int], transcript: Transcript = None,
+    challenge_fn=None,
 ) -> tuple[SumcheckProof, list[int], list[int]]:
     """claim = sum_x A(x) * B(x) with BDDT eval-2-from-claim
     (reference prove_quad, sumcheck.rs:190-247)."""
     p = field.modulus
+    if challenge_fn is None:
+        challenge_fn = _default_challenge_fn(transcript)
     A, B = list(A), list(B)
     assert len(A) == 1 << num_rounds
     e = claim % p
@@ -81,8 +103,7 @@ def prove_quad(
                     for j in range(half)) % p
         e2 = (2 * e - 3 * t0 + 2 * t_inf) % p
         poly = UniPoly.from_evals_deg2(field, [t0, (e - t0) % p, e2])
-        transcript.absorb_bytes(b"p", poly.to_transcript_bytes())
-        r = transcript.squeeze(b"c")
+        r = challenge_fn(len(rs), poly)
         rs.append(r)
         e = poly.evaluate(r)
         A = _bind(field, A, r)
