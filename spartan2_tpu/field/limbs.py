@@ -17,26 +17,31 @@ NL = NUM_LIMBS
 def ints_to_limbs_np(vals, spec: FieldSpec, mont: bool = True) -> np.ndarray:
     """Canonical python ints -> (NL, n) int32 limb array (host side).
 
-    If ``mont``, the values are converted to Montgomery form on the host
-    (cheap for small n; for bulk witness uploads prefer uploading canonical
-    limbs and calling FieldOps.to_mont on device).
+    If ``mont``, values are converted to Montgomery form first.  The
+    byte-packing is vectorized: per-value work is one big-int mod-mul and
+    one ``to_bytes`` (both C-speed); limb extraction runs in numpy.
     """
     p = spec.modulus
     n = len(vals)
-    out = np.zeros((NL, n), dtype=np.int32)
+    if n == 0:
+        return np.zeros((NL, 0), dtype=np.int32)
+    nbytes = (B * NL + 7) // 8  # 33
     if mont:
         R = 1 << (B * NL)
-        for k, v in enumerate(vals):
-            v = (int(v) % p) * R % p
-            for i in range(NL):
-                out[i, k] = v & LIMB_MASK
-                v >>= B
+        buf = b"".join((int(v) % p * R % p).to_bytes(nbytes, "little")
+                       for v in vals)
     else:
-        for k, v in enumerate(vals):
-            v = int(v) % p
-            for i in range(NL):
-                out[i, k] = v & LIMB_MASK
-                v >>= B
+        buf = b"".join((int(v) % p).to_bytes(nbytes, "little") for v in vals)
+    raw = np.frombuffer(buf, np.uint8).reshape(n, nbytes).astype(np.int64)
+    out = np.zeros((NL, n), dtype=np.int32)
+    for i in range(NL):
+        lo_bit = B * i
+        b0, off = lo_bit // 8, lo_bit % 8
+        v = raw[:, b0] >> off
+        v |= raw[:, b0 + 1] << (8 - off)
+        if 16 - off < B and b0 + 2 < nbytes:
+            v |= raw[:, b0 + 2] << (16 - off)
+        out[i] = (v & LIMB_MASK).astype(np.int32)
     return out
 
 

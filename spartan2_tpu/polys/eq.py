@@ -53,6 +53,22 @@ def pow_split_evals_host(field: FieldSpec, t: int, ell: int,
     return left, right
 
 
+def pow_evaluate(field: FieldSpec, t: int, r: list[int]) -> int:
+    """Evaluate the MLE of the table [t^k for k in 0..2^ell) at point r
+    (PowPolynomial::evaluate, power.rs:34-50).
+
+    With our bind convention (r[0] binds the TOP index bit), coordinate i
+    carries weight 2^(ell-1-i): result = prod_i (1 + (t^(2^(ell-1-i)) - 1) * r[i]).
+    """
+    p = field.modulus
+    ell = len(r)
+    acc = 1
+    for i, ri in enumerate(r):
+        tpow = pow(t, 1 << (ell - 1 - i), p)
+        acc = acc * (1 + (tpow - 1) * ri) % p
+    return acc
+
+
 # ---------------------------------------------------------------------------
 # device
 # ---------------------------------------------------------------------------

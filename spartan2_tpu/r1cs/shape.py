@@ -107,6 +107,29 @@ class SplitR1CSShape:
         self._ops: Optional[FieldOps] = None
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def equalize(S_a: "SplitR1CSShape", S_b: "SplitR1CSShape") -> None:
+        """Grow both shapes to common (num_cons, num_vars) by extending
+        num_rest and shifting public/challenge columns
+        (reference equalize, r1cs/mod.rs:913-974).  Call before
+        attach_device."""
+        num_cons_p = max(S_a.num_cons, S_b.num_cons)
+        num_vars_p = max(S_a.num_vars, S_b.num_vars)
+
+        for S in (S_a, S_b):
+            orig_cons = S.num_cons
+            num_vars = S.num_vars
+            shift = num_vars_p - num_vars
+            for M in (S.A, S.B, S.C):
+                if shift:
+                    M.indices = [c + shift if c >= num_vars else c
+                                 for c in M.indices]
+                M.cols += shift
+                M.indptr.extend([M.indptr[-1]] * (num_cons_p - orig_cons))
+            S.num_rest = num_vars_p - (S.num_shared + S.num_precommitted)
+            S.num_cons = num_cons_p
+            assert S._device is None, "equalize must run before attach_device"
+
     @property
     def num_vars(self) -> int:
         return self.num_shared + self.num_precommitted + self.num_rest

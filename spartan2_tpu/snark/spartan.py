@@ -33,9 +33,9 @@ from ..polys.univariate import CompressedUniPoly, UniPoly
 from ..provider.engines import Engine
 from ..r1cs.shape import R1CSWitness, SplitR1CSInstance, SplitR1CSShape
 from ..sumcheck.prove import (
-    SpartanInnerRound0,
-    SumcheckProverCubic,
-    SumcheckProverQuad,
+    get_cubic_prover,
+    get_inner_round0,
+    get_quad_prover,
 )
 from ..sumcheck.verify import SumcheckProof
 from ..transcript.device import DeviceTranscript
@@ -280,17 +280,18 @@ class SpartanSNARK:
         td = DeviceTranscript(ops, state=jnp.asarray(
             np.frombuffer(transcript.state, np.uint8)), round=transcript.round)
         zero = ops.const(0)
-        prover_cubic = SumcheckProverCubic(ops)
+        prover_cubic = get_cubic_prover(ops)
         coeffs_outer, r_x_dev, finals_outer, _ = prover_cubic.prove(
             td, eq_tau, Az, Bz, Cz, zero
         )
         transcript.state = np.asarray(td.state).tobytes()
         transcript.round = td.round
 
-        claim_Az, claim_Bz, claim_Cz = (
-            limbs_to_ints(np.asarray(f), engine.scalar, mont=True)[0]
-            for f in finals_outer
-        )
+        # ONE host pull for all three final claims (the tunnel costs
+        # ~40ms per device->host sync; never pull per scalar)
+        finals_arr = np.asarray(jnp.stack(finals_outer, axis=1))
+        claim_Az, claim_Bz, claim_Cz = limbs_to_ints(
+            finals_arr, engine.scalar, mont=True)
         transcript.absorb_scalars(b"claims_outer", [claim_Az, claim_Bz, claim_Cz])
 
         # ---- inner sum-check ----
@@ -304,40 +305,38 @@ class SpartanSNARK:
         num_extra = 1 + S.num_public + S.num_challenges
         td = DeviceTranscript(ops, state=jnp.asarray(
             np.frombuffer(transcript.state, np.uint8)), round=transcript.round)
-        inner0 = SpartanInnerRound0(ops)
+        inner0 = get_inner_round0(ops)
         claim_dev = _upload_mont(engine, [claim_inner])[:, 0]
         abc_b, z_b, claim_dev, r0_dev, coeffs_r0 = inner0.run(
             td, poly_ABC, z, claim_dev, num_vars, num_extra
         )
-        prover_quad = SumcheckProverQuad(ops)
+        prover_quad = get_quad_prover(ops)
         coeffs_inner, r_y_dev, finals_inner, _ = prover_quad.prove(
             td, abc_b, z_b, claim_dev, num_rounds_y - 1
         )
         transcript.state = np.asarray(td.state).tobytes()
         transcript.round = td.round
 
-        # pull round polynomials and challenges to host
-        def pull_poly(c) -> UniPoly:
-            vals = limbs_to_ints(np.asarray(c), engine.scalar, mont=True)
-            return UniPoly(engine.scalar, vals)
+        # Batched host pulls: one transfer per group instead of per round.
+        outer_arr = np.asarray(jnp.concatenate(coeffs_outer, axis=1))
+        outer_vals = limbs_to_ints(outer_arr, engine.scalar, mont=True)
+        sc_proof_outer = SumcheckProof(engine.scalar, [
+            UniPoly(engine.scalar, outer_vals[4 * i : 4 * i + 4]).compress()
+            for i in range(len(coeffs_outer))
+        ])
 
-        sc_proof_outer = SumcheckProof(
-            engine.scalar, [pull_poly(c).compress() for c in coeffs_outer]
-        )
-        inner_polys = [pull_poly(coeffs_r0).compress()] + [
-            pull_poly(c).compress() for c in coeffs_inner
-        ]
-        sc_proof_inner = SumcheckProof(engine.scalar, inner_polys)
+        inner_arr = np.asarray(jnp.concatenate([coeffs_r0] + coeffs_inner, axis=1))
+        inner_vals = limbs_to_ints(inner_arr, engine.scalar, mont=True)
+        sc_proof_inner = SumcheckProof(engine.scalar, [
+            UniPoly(engine.scalar, inner_vals[3 * i : 3 * i + 3]).compress()
+            for i in range(1 + len(coeffs_inner))
+        ])
 
-        r_y0 = limbs_to_ints(np.asarray(r0_dev), engine.scalar, mont=True)[0]
-        r_y_rest = [
-            limbs_to_ints(np.asarray(rv), engine.scalar, mont=True)[0]
-            for rv in r_y_dev
-        ]
-        r_y = [r_y0] + r_y_rest
-
-        eval_Z = limbs_to_ints(np.asarray(finals_inner[1]), engine.scalar,
-                               mont=True)[0]
+        tail_arr = np.asarray(jnp.stack([r0_dev] + list(r_y_dev)
+                                        + [finals_inner[1]], axis=1))
+        tail_vals = limbs_to_ints(tail_arr, engine.scalar, mont=True)
+        r_y = tail_vals[: 1 + len(r_y_dev)]
+        eval_Z = tail_vals[-1]
 
         # eval_W = (eval_Z - r_y[0] * eval_X) / (1 - r_y[0])  (Z = (W, 1, X))
         X = U.public_values + U.challenges

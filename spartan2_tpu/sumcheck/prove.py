@@ -68,6 +68,23 @@ def unipoly_eval_dev(ops: FieldOps, coeffs: jnp.ndarray, r: jnp.ndarray):
     return acc
 
 
+@functools.lru_cache(maxsize=None)
+def get_cubic_prover(ops: FieldOps) -> "SumcheckProverCubic":
+    """Process-wide prover cache: step executables (and their expensive
+    deserialized forms) must be reused across proofs."""
+    return SumcheckProverCubic(ops)
+
+
+@functools.lru_cache(maxsize=None)
+def get_quad_prover(ops: FieldOps) -> "SumcheckProverQuad":
+    return SumcheckProverQuad(ops)
+
+
+@functools.lru_cache(maxsize=None)
+def get_inner_round0(ops: FieldOps) -> "SpartanInnerRound0":
+    return SpartanInnerRound0(ops)
+
+
 def absorb_unipoly(td: DeviceTranscript, coeffs: jnp.ndarray) -> None:
     """Absorb under label b"p" as compressed coefficients [c0, c2, c3...],
     each 32-byte little-endian canonical (univariate.rs:182-190)."""
