@@ -84,6 +84,9 @@ def bench_sha256_prove():
     # warm-up prove (compiles all per-round kernels once; cached on disk)
     proof, prep = SpartanSNARK.prove(pk, circuit, prep, is_small=True, rng=det(2))
     assert SpartanSNARK.verify(proof, vk) == circuit.public_values()
+    from spartan2_tpu.utils.serde import spartan_proof_to_bytes
+
+    proof_bytes = len(spartan_proof_to_bytes(proof, engine))
 
     iters = 3
     t0 = time.time()
@@ -100,6 +103,46 @@ def bench_sha256_prove():
         "value": round(dt, 4),
         "unit": "s",
         "vs_baseline": round(baseline_s / dt, 4),  # >1 means faster than est.
+        "proof_bytes": proof_bytes,
+    }
+
+
+def bench_neutronnova():
+    """Batch folding prove latency (reference benches/sha256_neutronnova.rs:
+    N steps folded + core).  BENCH_NN_STEPS controls N (reference: 16/32)."""
+    import random
+
+    from spartan2_tpu.frontend.gadgets.sha256 import Sha256Circuit
+    from spartan2_tpu.provider.engines import get_engine
+    from spartan2_tpu.snark.neutronnova import NeutronNovaZkSNARK
+    from spartan2_tpu.utils.serde import neutronnova_proof_to_bytes
+
+    n_steps = int(os.environ.get("BENCH_NN_STEPS", "4"))
+    step_circuits = [Sha256Circuit(bytes([i] * 8)) for i in range(n_steps)]
+    core = Sha256Circuit(bytes(8))
+    engine = get_engine("PallasHyraxEngine")
+    det = lambda seed: (lambda q, r=random.Random(seed).randrange: r(q))
+
+    pk, vk = NeutronNovaZkSNARK.setup(engine, step_circuits[0], core, n_steps,
+                                      width=2048)
+    prep = NeutronNovaZkSNARK.prep_prove(pk, step_circuits, core,
+                                         is_small=True, rng=det(1))
+    proof, prep = NeutronNovaZkSNARK.prove(pk, step_circuits, core, prep,
+                                           is_small=True, rng=det(2))
+    NeutronNovaZkSNARK.verify(proof, vk, n_steps)
+    size = len(neutronnova_proof_to_bytes(proof, engine))
+
+    t0 = time.time()
+    proof, prep = NeutronNovaZkSNARK.prove(pk, step_circuits, core, prep,
+                                           is_small=True, rng=det(3))
+    dt = time.time() - t0
+    # Rust estimate: ~40 ms/step fold + prove overhead on 16 cores.
+    return {
+        "metric": f"neutronnova_{n_steps}steps_sha256_prove_latency",
+        "value": round(dt, 4),
+        "unit": "s",
+        "vs_baseline": round((0.04 * n_steps + 0.3) / dt, 4),
+        "proof_bytes": size,
     }
 
 
@@ -107,6 +150,8 @@ def main() -> None:
     workload = os.environ.get("BENCH_WORKLOAD", "sha256_prove")
     if workload == "sumcheck":
         result = bench_sumcheck()
+    elif workload == "neutronnova":
+        result = bench_neutronnova()
     else:
         result = bench_sha256_prove()
     print(json.dumps(result))

@@ -55,7 +55,7 @@ class ShardedSumcheckCubic:
         return cols[..., 0]
 
     @functools.lru_cache(maxsize=None)
-    def _step(self, n: int, t_round: int):
+    def _step(self, n: int):
         ops = self.ops
         mesh = self.mesh
         spec = P(None, DATA_AXIS)
@@ -87,7 +87,7 @@ class ShardedSumcheckCubic:
         # NOTE: each shard's [lo | hi] halves must correspond to the global
         # halves — we shard the HALF arrays, not the full array, so the
         # shard boundary never crosses the lo/hi split.
-        def step(eq_l, eq_h, A_l, A_h, B_l, B_h, C_l, C_h, claim, tstate):
+        def step(eq_l, eq_h, A_l, A_h, B_l, B_h, C_l, C_h, claim, tstate, t_round):
             def shard_body(eq_l, eq_h, A_l, A_h, B_l, B_h, C_l, C_h):
                 eq = jnp.concatenate([eq_l, eq_h], axis=1)
                 A = jnp.concatenate([A_l, A_h], axis=1)
@@ -107,7 +107,8 @@ class ShardedSumcheckCubic:
             e1 = ops.sub(claim, t0)
             coeffs = from_evals4_dev(ops, t0, e1, t2, t3)
 
-            td = DeviceTranscript(ops, state=tstate, round=t_round)
+            td = DeviceTranscript(ops, state=tstate,
+                                  round=jnp.asarray(t_round, jnp.uint32))
             absorb_unipoly(td, coeffs)
             r = td.squeeze_mont(b"c")
             new_claim = unipoly_eval_dev(ops, coeffs, r)
@@ -136,11 +137,12 @@ class ShardedSumcheckCubic:
         n_dev = self.mesh.devices.size
         while n > max(1, n_dev):  # sharded rounds while each chip has work
             half = n // 2
-            step = self._step(n, td.round)
+            step = self._step(n)
             parts = []
             for arr in (eq, A, Bp, C):
                 parts.extend([arr[:, :half], arr[:, half:]])
-            eq, A, Bp, C, claim, r, coeffs, tstate = step(*parts, claim, td.state)
+            eq, A, Bp, C, claim, r, coeffs, tstate = step(*parts, claim,
+                                                          td.state, int(td.round))
             td.state = tstate
             td.round += 1
             coeffs_out.append(coeffs)

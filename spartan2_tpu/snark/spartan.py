@@ -41,6 +41,7 @@ from ..sumcheck.verify import SumcheckProof
 from ..transcript.device import DeviceTranscript
 from ..transcript.transcript import Transcript
 from ..utils.digest import vk_digest
+from ..utils.tracing import span
 
 
 def _log2(n: int) -> int:
@@ -246,7 +247,11 @@ class SpartanSNARK:
 
     @staticmethod
     def prove(pk: SpartanProverKey, circuit, prep: SpartanPrepSNARK,
-              is_small: bool = False, rng=None):
+              is_small: bool = False, rng=None, mesh=None):
+        """Produce a proof.  With ``mesh`` (a jax.sharding.Mesh), the outer
+        sum-check's large rounds run lane-sharded across the mesh with
+        psum'd evaluation columns (parallel/sumcheck_shard.py); remaining
+        rounds and the rest of the pipeline run single-device."""
         engine = pk.engine
         S = pk.S
         ops = engine.fs
@@ -257,9 +262,10 @@ class SpartanSNARK:
         public_values = circuit.public_values()
         transcript.absorb_scalars(b"public_values", public_values)
 
-        U, W = r1cs_instance_and_witness(
-            engine, prep.ps, S, pk.ck, circuit, is_small, transcript, rng
-        )
+        with span("witness_and_instance"):
+            U, W = r1cs_instance_and_witness(
+                engine, prep.ps, S, pk.ck, circuit, is_small, transcript, rng
+            )
 
         # z = (W, 1, public, challenges), zero-padded to 2 * num_vars
         num_vars = S.num_vars
@@ -272,7 +278,8 @@ class SpartanSNARK:
 
         taus = [transcript.squeeze(b"t") for _ in range(num_rounds_x)]
 
-        Az, Bz, Cz = S.multiply_vec_device(z[:, : S.num_cols])
+        with span("matrix_vector_multiply"):
+            Az, Bz, Cz = S.multiply_vec_device(z[:, : S.num_cols])
 
         # ---- outer sum-check (device rounds, device transcript) ----
         taus_dev = _upload_mont(engine, taus)
@@ -281,9 +288,27 @@ class SpartanSNARK:
             np.frombuffer(transcript.state, np.uint8)), round=transcript.round)
         zero = ops.const(0)
         prover_cubic = get_cubic_prover(ops)
-        coeffs_outer, r_x_dev, finals_outer, _ = prover_cubic.prove(
-            td, eq_tau, Az, Bz, Cz, zero
-        )
+        with span("outer_sumcheck", rounds=num_rounds_x):
+            coeffs_sharded, r_sharded = [], []
+            claim = zero
+            if mesh is not None and eq_tau.shape[1] > mesh.devices.size:
+                from ..parallel.sumcheck_shard import ShardedSumcheckCubic
+
+                sharded = ShardedSumcheckCubic(ops, mesh)
+                (eq_tau, Az, Bz, Cz), coeffs_sharded, r_sharded, claim = (
+                    sharded.prove(td, eq_tau, Az, Bz, Cz, zero))
+                # gather the small remainder onto device 0 for the tail
+                import jax
+
+                dev0 = jax.devices()[0]
+                eq_tau, Az, Bz, Cz, claim = (
+                    jax.device_put(x, dev0) for x in (eq_tau, Az, Bz, Cz, claim))
+                td.state = jax.device_put(td.state, dev0)
+            coeffs_outer, r_x_dev, finals_outer, _ = prover_cubic.prove(
+                td, eq_tau, Az, Bz, Cz, claim
+            )
+            coeffs_outer = coeffs_sharded + coeffs_outer
+            r_x_dev = r_sharded + r_x_dev
         transcript.state = np.asarray(td.state).tobytes()
         transcript.round = td.round
 
@@ -300,7 +325,8 @@ class SpartanSNARK:
 
         eq_rx = eq_evals_device(ops, jnp.stack(r_x_dev, axis=1))
         r_mont = _upload_mont(engine, [r])[:, 0]
-        poly_ABC = S.bind_and_prepare_poly_ABC_device(eq_rx, r_mont)
+        with span("prepare_poly_ABC"):
+            poly_ABC = S.bind_and_prepare_poly_ABC_device(eq_rx, r_mont)
 
         num_extra = 1 + S.num_public + S.num_challenges
         td = DeviceTranscript(ops, state=jnp.asarray(
@@ -311,9 +337,10 @@ class SpartanSNARK:
             td, poly_ABC, z, claim_dev, num_vars, num_extra
         )
         prover_quad = get_quad_prover(ops)
-        coeffs_inner, r_y_dev, finals_inner, _ = prover_quad.prove(
-            td, abc_b, z_b, claim_dev, num_rounds_y - 1
-        )
+        with span("inner_sumcheck", rounds=num_rounds_y):
+            coeffs_inner, r_y_dev, finals_inner, _ = prover_quad.prove(
+                td, abc_b, z_b, claim_dev, num_rounds_y - 1
+            )
         transcript.state = np.asarray(td.state).tobytes()
         transcript.round = td.round
 
@@ -352,10 +379,11 @@ class SpartanSNARK:
         blind_eval_W = engine.pcs.blind(pk.ck_s, 1, rng=rng)
         comm_eval_W = engine.pcs.commit_host(pk.ck_s, [eval_W], blind_eval_W)
         comm_W, _ = U.to_regular(engine.pcs)
-        eval_arg = engine.pcs.prove(
-            pk.ck, pk.ck_s, transcript, comm_W, W.W, W.r_W, r_y[1:],
-            comm_eval_W, blind_eval_W, rng=rng,
-        )
+        with span("pcs_prove"):
+            eval_arg = engine.pcs.prove(
+                pk.ck, pk.ck_s, transcript, comm_W, W.W, W.r_W, r_y[1:],
+                comm_eval_W, blind_eval_W, rng=rng,
+            )
 
         proof = SpartanSNARKProof(
             U=U,

@@ -123,10 +123,10 @@ class SumcheckProverCubic:
         self.ops = ops
 
     @functools.lru_cache(maxsize=None)
-    def _step(self, n: int, t_round: int):
+    def _step(self, n: int):
         ops = self.ops
 
-        def step(eq, A, Bp, C, claim, tstate):
+        def step(eq, A, Bp, C, claim, tstate, t_round):
             half = n // 2
             eq_l, eq_h = eq[:, :half], eq[:, half:]
             A_l, A_h = A[:, :half], A[:, half:]
@@ -151,7 +151,8 @@ class SumcheckProverCubic:
             e1 = ops.sub(claim, t0)
             coeffs = from_evals4_dev(ops, t0, e1, t2, t3)
 
-            td = DeviceTranscript(ops, state=tstate, round=t_round)
+            td = DeviceTranscript(ops, state=tstate,
+                                  round=jnp.asarray(t_round, jnp.uint32))
             absorb_unipoly(td, coeffs)
             r = td.squeeze_mont(b"c")
             new_claim = unipoly_eval_dev(ops, coeffs, r)
@@ -170,8 +171,9 @@ class SumcheckProverCubic:
         n = eq.shape[1]
         coeffs_out, r_out = [], []
         while n > 1:
-            step = self._step(n, td.round)
-            eq, A, Bp, C, claim, r, coeffs, tstate = step(eq, A, Bp, C, claim, td.state)
+            step = self._step(n)
+            eq, A, Bp, C, claim, r, coeffs, tstate = step(
+                eq, A, Bp, C, claim, td.state, int(td.round))
             td.state = tstate
             td.round += 1
             coeffs_out.append(coeffs)
@@ -188,10 +190,10 @@ class SumcheckProverQuad:
         self.ops = ops
 
     @functools.lru_cache(maxsize=None)
-    def _step(self, n: int, t_round: int):
+    def _step(self, n: int):
         ops = self.ops
 
-        def step(A, Bp, claim, tstate):
+        def step(A, Bp, claim, tstate, t_round):
             half = n // 2
             A_l, A_h = A[:, :half], A[:, half:]
             B_l, B_h = Bp[:, :half], Bp[:, half:]
@@ -205,7 +207,8 @@ class SumcheckProverQuad:
             e1 = ops.sub(claim, t0)
             coeffs = from_evals3_dev(ops, t0, e1, e2)
 
-            td = DeviceTranscript(ops, state=tstate, round=t_round)
+            td = DeviceTranscript(ops, state=tstate,
+                                  round=jnp.asarray(t_round, jnp.uint32))
             absorb_unipoly(td, coeffs)
             r = td.squeeze_mont(b"c")
             new_claim = unipoly_eval_dev(ops, coeffs, r)
@@ -222,8 +225,9 @@ class SumcheckProverQuad:
         assert n == 1 << num_rounds
         coeffs_out, r_out = [], []
         for _ in range(num_rounds):
-            step = self._step(n, td.round)
-            A, Bp, claim, r, coeffs, tstate = step(A, Bp, claim, td.state)
+            step = self._step(n)
+            A, Bp, claim, r, coeffs, tstate = step(A, Bp, claim, td.state,
+                                                   int(td.round))
             td.state = tstate
             td.round += 1
             coeffs_out.append(coeffs)
@@ -249,10 +253,10 @@ class SpartanInnerRound0:
         self.ops = ops
 
     @functools.lru_cache(maxsize=None)
-    def _step(self, num_vars: int, num_extra: int, t_round: int):
+    def _step(self, num_vars: int, num_extra: int):
         ops = self.ops
 
-        def step(abc, z, claim, tstate):
+        def step(abc, z, claim, tstate, t_round):
             abc_lo, abc_hi = abc[:, :num_vars], abc[:, num_vars:]
             z_lo, z_hi = z[:, :num_vars], z[:, num_vars:]
             eval0 = ops.sum_products(abc_lo, z_lo)
@@ -267,7 +271,8 @@ class SpartanInnerRound0:
             e1 = ops.sub(claim, eval0)
             coeffs = from_evals3_dev(ops, eval0, e1, e2)
 
-            td = DeviceTranscript(ops, state=tstate, round=t_round)
+            td = DeviceTranscript(ops, state=tstate,
+                                  round=jnp.asarray(t_round, jnp.uint32))
             absorb_unipoly(td, coeffs)
             r0 = td.squeeze_mont(b"c")
             new_claim = unipoly_eval_dev(ops, coeffs, r0)
@@ -287,8 +292,9 @@ class SpartanInnerRound0:
         return cached_jit(step)
 
     def run(self, td: DeviceTranscript, abc, z, claim, num_vars: int, num_extra: int):
-        step = self._step(num_vars, num_extra, td.round)
-        abc, z, claim, r0, coeffs, tstate = step(abc, z, claim, td.state)
+        step = self._step(num_vars, num_extra)
+        abc, z, claim, r0, coeffs, tstate = step(abc, z, claim, td.state,
+                                                 int(td.round))
         td.state = tstate
         td.round += 1
         return abc, z, claim, r0, coeffs

@@ -232,14 +232,21 @@ class DeviceTranscript:
 
     # -- squeeze ---------------------------------------------------------
     def squeeze_bytes(self, label: bytes) -> jnp.ndarray:
-        tail = DOM_SEP_TAG + self.round.to_bytes(2, "little")
         parts = list(self.buf)
-        parts.append(_const_bytes(tail))
+        if isinstance(self.round, int):
+            parts.append(_const_bytes(DOM_SEP_TAG + self.round.to_bytes(2, "little")))
+        else:
+            # traced round counter: one compiled step serves every round
+            # of a given size (the counter is 2 LE bytes in the stream)
+            parts.append(_const_bytes(DOM_SEP_TAG))
+            rnd = self.round.astype(jnp.uint32)
+            parts.append(jnp.stack([(rnd & 0xFF).astype(jnp.uint8),
+                                    ((rnd >> 8) & 0xFF).astype(jnp.uint8)]))
         parts.append(self.state)
         parts.append(_const_bytes(label))
         inp = jnp.concatenate(parts, axis=0)
         out = compute_updated_state_dev(inp)
-        self.round += 1
+        self.round = self.round + 1
         self.state = out
         self.buf = []
         return out

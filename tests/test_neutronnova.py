@@ -83,6 +83,16 @@ def test_neutronnova_end_to_end():
     assert pv_steps == [[7], [28], [124]]
     assert pv_core == [42]
 
+    from spartan2_tpu.utils.serde import (
+        neutronnova_proof_from_bytes,
+        neutronnova_proof_to_bytes,
+    )
+
+    blob = neutronnova_proof_to_bytes(proof, engine)
+    proof_rt = neutronnova_proof_from_bytes(blob, engine)
+    pv_steps2, pv_core2 = NeutronNovaZkSNARK.verify(proof_rt, vk, num_steps)
+    assert pv_steps2 == pv_steps and pv_core2 == pv_core
+
     # tampering with a step public value must fail
     proof.step_instances[1].public_values = [29]
     with pytest.raises(SpartanError):

@@ -71,6 +71,16 @@ def test_spartan_snark_end_to_end(engine):
     proof, prep = SpartanSNARK.prove(pk, circuit, prep, rng=det_rng(2))
     assert SpartanSNARK.verify(proof, vk) == [15]
 
+    # serialization round trip (reference: bincode wire format)
+    from spartan2_tpu.utils.serde import (
+        spartan_proof_from_bytes,
+        spartan_proof_to_bytes,
+    )
+
+    blob = spartan_proof_to_bytes(proof, engine)
+    proof_rt = spartan_proof_from_bytes(blob, engine)
+    assert SpartanSNARK.verify(proof_rt, vk) == [15]
+
     # reuse the prep state for a second proof (prep_prove caching pattern)
     proof2, _ = SpartanSNARK.prove(pk, circuit, prep, rng=det_rng(3))
     assert SpartanSNARK.verify(proof2, vk) == [15]

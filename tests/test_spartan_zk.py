@@ -28,6 +28,15 @@ def test_spartan_zk_end_to_end(engine):
     proof, prep = SpartanZkSNARK.prove(pk, circuit, prep, rng=det_rng(2))
     assert SpartanZkSNARK.verify(proof, vk) == [15]
 
+    from spartan2_tpu.utils.serde import (
+        spartan_zk_proof_from_bytes,
+        spartan_zk_proof_to_bytes,
+    )
+
+    blob = spartan_zk_proof_to_bytes(proof, engine)
+    proof_rt = spartan_zk_proof_from_bytes(blob, engine)
+    assert SpartanZkSNARK.verify(proof_rt, vk) == [15]
+
     # prep reuse with rerandomization
     proof2, _ = SpartanZkSNARK.prove(pk, circuit, prep, rng=det_rng(3))
     assert SpartanZkSNARK.verify(proof2, vk) == [15]
