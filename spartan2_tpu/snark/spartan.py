@@ -309,12 +309,13 @@ class SpartanSNARK:
             )
             coeffs_outer = coeffs_sharded + coeffs_outer
             r_x_dev = r_sharded + r_x_dev
-        transcript.state = np.asarray(td.state).tobytes()
-        transcript.round = td.round
+        # ONE host sync for the transcript state + all three final claims
+        import jax
 
-        # ONE host pull for all three final claims (the tunnel costs
-        # ~40ms per device->host sync; never pull per scalar)
-        finals_arr = np.asarray(jnp.stack(finals_outer, axis=1))
+        state_np, finals_arr = jax.device_get(
+            (td.state, jnp.stack(finals_outer, axis=1)))
+        transcript.state = state_np.tobytes()
+        transcript.round = td.round
         claim_Az, claim_Bz, claim_Cz = limbs_to_ints(
             finals_arr, engine.scalar, mont=True)
         transcript.absorb_scalars(b"claims_outer", [claim_Az, claim_Bz, claim_Cz])
@@ -341,26 +342,27 @@ class SpartanSNARK:
             coeffs_inner, r_y_dev, finals_inner, _ = prover_quad.prove(
                 td, abc_b, z_b, claim_dev, num_rounds_y - 1
             )
-        transcript.state = np.asarray(td.state).tobytes()
-        transcript.round = td.round
-
         # Batched host pulls: one transfer per group instead of per round.
-        outer_arr = np.asarray(jnp.concatenate(coeffs_outer, axis=1))
+        state_np, outer_arr, inner_arr, tail_arr = jax.device_get((
+            td.state,
+            jnp.concatenate(coeffs_outer, axis=1),
+            jnp.concatenate([coeffs_r0] + coeffs_inner, axis=1),
+            jnp.stack([r0_dev] + list(r_y_dev) + [finals_inner[1]], axis=1),
+        ))
+        transcript.state = state_np.tobytes()
+        transcript.round = td.round
         outer_vals = limbs_to_ints(outer_arr, engine.scalar, mont=True)
         sc_proof_outer = SumcheckProof(engine.scalar, [
             UniPoly(engine.scalar, outer_vals[4 * i : 4 * i + 4]).compress()
             for i in range(len(coeffs_outer))
         ])
 
-        inner_arr = np.asarray(jnp.concatenate([coeffs_r0] + coeffs_inner, axis=1))
         inner_vals = limbs_to_ints(inner_arr, engine.scalar, mont=True)
         sc_proof_inner = SumcheckProof(engine.scalar, [
             UniPoly(engine.scalar, inner_vals[3 * i : 3 * i + 3]).compress()
             for i in range(1 + len(coeffs_inner))
         ])
 
-        tail_arr = np.asarray(jnp.stack([r0_dev] + list(r_y_dev)
-                                        + [finals_inner[1]], axis=1))
         tail_vals = limbs_to_ints(tail_arr, engine.scalar, mont=True)
         r_y = tail_vals[: 1 + len(r_y_dev)]
         eval_Z = tail_vals[-1]

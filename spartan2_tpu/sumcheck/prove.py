@@ -85,6 +85,15 @@ def get_inner_round0(ops: FieldOps) -> "SpartanInnerRound0":
     return SpartanInnerRound0(ops)
 
 
+@functools.lru_cache(maxsize=None)
+def round_dev(i: int) -> jnp.ndarray:
+    """Device-resident round counter (cached: avoids a host->device
+    transfer per sum-check round on the tunneled TPU).  Built WITHOUT a
+    dtype so it stays weak-int32 — the same aval a plain Python int
+    traces to, keeping the compiled-executable cache keys unchanged."""
+    return jnp.asarray(i)
+
+
 def absorb_unipoly(td: DeviceTranscript, coeffs: jnp.ndarray) -> None:
     """Absorb under label b"p" as compressed coefficients [c0, c2, c3...],
     each 32-byte little-endian canonical (univariate.rs:182-190)."""
@@ -173,7 +182,7 @@ class SumcheckProverCubic:
         while n > 1:
             step = self._step(n)
             eq, A, Bp, C, claim, r, coeffs, tstate = step(
-                eq, A, Bp, C, claim, td.state, int(td.round))
+                eq, A, Bp, C, claim, td.state, round_dev(int(td.round)))
             td.state = tstate
             td.round += 1
             coeffs_out.append(coeffs)
@@ -227,7 +236,7 @@ class SumcheckProverQuad:
         for _ in range(num_rounds):
             step = self._step(n)
             A, Bp, claim, r, coeffs, tstate = step(A, Bp, claim, td.state,
-                                                   int(td.round))
+                                                   round_dev(int(td.round)))
             td.state = tstate
             td.round += 1
             coeffs_out.append(coeffs)
@@ -294,7 +303,7 @@ class SpartanInnerRound0:
     def run(self, td: DeviceTranscript, abc, z, claim, num_vars: int, num_extra: int):
         step = self._step(num_vars, num_extra)
         abc, z, claim, r0, coeffs, tstate = step(abc, z, claim, td.state,
-                                                 int(td.round))
+                                                 round_dev(int(td.round)))
         td.state = tstate
         td.round += 1
         return abc, z, claim, r0, coeffs
