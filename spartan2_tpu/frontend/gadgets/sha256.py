@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import hashlib
 
-from ..constraint_system import LC, ONE, ConstraintSystem, Variable, lc
+from ..constraint_system import LC, ONE, ConstraintSystem, lc
 
 # SHA-256 round constants / IV (FIPS 180-4)
 K = [

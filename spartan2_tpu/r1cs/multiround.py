@@ -22,7 +22,7 @@ from ..errors import SpartanError
 from ..field.constants import FieldSpec
 from ..field.limbs import ints_to_limbs_np
 from ..frontend.constraint_system import ConstraintSystem, Num
-from ..pcs.hyrax import HyraxBlind, HyraxCommitment
+from ..pcs.hyrax import HyraxCommitment
 from ..transcript.transcript import Transcript
 from .relaxed import R1CSInstance, R1CSShape, R1CSWitnessHost
 from .shape import pad_to_width, _next_pow2

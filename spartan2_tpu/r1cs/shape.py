@@ -24,7 +24,6 @@ import jax.numpy as jnp
 from ..errors import SpartanError, UnSatError
 from ..field.constants import FieldSpec
 from ..field.jnp_ops import NL, FieldOps
-from ..field.limbs import ints_to_limbs_np
 from ..frontend.constraint_system import ConstraintSystem, SpartanCircuitAPI
 from ..pcs.hyrax import HyraxCommitment
 from ..transcript.transcript import Transcript

@@ -17,7 +17,7 @@ multiply by -1 instead of a field negation.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field as dfield
+from dataclasses import dataclass
 
 import numpy as np
 import jax

@@ -15,7 +15,6 @@ pull eval_Z — all O(rounds) scalars, matching the reference's
 
 from __future__ import annotations
 
-import secrets
 from dataclasses import dataclass
 from typing import Optional
 
@@ -23,13 +22,12 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..errors import SpartanError
-from ..field.jnp_ops import NL
 from ..field.limbs import ints_to_limbs_np, limbs_to_ints
 from ..frontend.constraint_system import ConstraintSystem
 from ..pcs.hyrax import HyraxBlind, HyraxCommitment, HyraxEvaluationArgument
 from ..polys.eq import eq_evals_device, eq_evals_host, eq_evaluate
 from ..polys.multilinear import sparse_poly_evaluate_host
-from ..polys.univariate import CompressedUniPoly, UniPoly
+from ..polys.univariate import UniPoly
 from ..provider.engines import Engine
 from ..r1cs.shape import R1CSWitness, SplitR1CSInstance, SplitR1CSShape
 from ..sumcheck.prove import (
