@@ -8,8 +8,8 @@ PrepSNARK (benches/sha256_spartan.rs:219-236).
 
 Env knobs:
   BENCH_WORKLOAD   sha256_prove (default) | sumcheck
-  BENCH_PREIMAGE_BYTES   preimage size for sha256_prove (default 8;
-                         reference uses 1024/2048)
+  BENCH_PREIMAGE_BYTES   preimage size for sha256_prove (default 1024,
+                         the reference's headline message size)
   BENCH_SIZE       log2 hypercube size for sumcheck (default 20)
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
@@ -72,7 +72,7 @@ def bench_sha256_prove():
     from spartan2_tpu.provider.engines import get_engine
     from spartan2_tpu.snark.spartan import SpartanSNARK
 
-    n_bytes = int(os.environ.get("BENCH_PREIMAGE_BYTES", "8"))
+    n_bytes = int(os.environ.get("BENCH_PREIMAGE_BYTES", "1024"))
     preimage = bytes(i & 0xFF for i in range(n_bytes))
     circuit = Sha256Circuit(preimage)
     engine = get_engine("PallasHyraxEngine")

@@ -32,16 +32,18 @@ def ints_to_limbs_np(vals, spec: FieldSpec, mont: bool = True) -> np.ndarray:
                        for v in vals)
     else:
         buf = b"".join((int(v) % p).to_bytes(nbytes, "little") for v in vals)
-    raw = np.frombuffer(buf, np.uint8).reshape(n, nbytes).astype(np.int64)
-    out = np.zeros((NL, n), dtype=np.int32)
+    # ONE dtype conversion; per-limb extraction stays in int32 (a per-limb
+    # int64 astype of the full matrix cost 0.25s x 23 x NL at 2^21 values)
+    raw = np.frombuffer(buf, np.uint8).reshape(n, nbytes).astype(np.int32)
+    out = np.empty((NL, n), dtype=np.int32)
     for i in range(NL):
         lo_bit = B * i
         b0, off = lo_bit // 8, lo_bit % 8
         v = raw[:, b0] >> off
-        v |= raw[:, b0 + 1] << (8 - off)
+        v = v | (raw[:, b0 + 1] << (8 - off))
         if 16 - off < B and b0 + 2 < nbytes:
-            v |= raw[:, b0 + 2] << (16 - off)
-        out[i] = (v & LIMB_MASK).astype(np.int32)
+            v = v | (raw[:, b0 + 2] << (16 - off))
+        out[i] = v & LIMB_MASK
     return out
 
 

@@ -22,6 +22,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..errors import SpartanError
+from ..field.jnp_ops import NL
 from ..field.limbs import ints_to_limbs_np, limbs_to_ints
 from ..frontend.constraint_system import ConstraintSystem
 from ..pcs.hyrax import HyraxBlind, HyraxCommitment, HyraxEvaluationArgument
@@ -82,6 +83,8 @@ class PrecommittedState:
     r_W_shared: Optional[HyraxBlind] = None
     comm_W_precommitted: Optional[HyraxCommitment] = None
     r_W_precommitted: Optional[HyraxBlind] = None
+    # device cache of the (static) shared+precommitted limb planes
+    W_prefix_mont: Optional[object] = None
 
 
 @dataclass
@@ -183,16 +186,19 @@ def r1cs_instance_and_witness(engine: Engine, ps: PrecommittedState,
 
     r_W_rest = pcs.blind(ck, S.num_rest, rng=rng)
     lo = S.num_shared + S.num_precommitted
+    if ps.W_prefix_mont is None:
+        ps.W_prefix_mont = _upload_mont(engine, ps.W[:lo])
     if S.num_rest_unpadded == 0:
         comm_W_rest = pcs.commit_zeros(ck, S.num_rest, r_W_rest)
         actual_small = True
+        rest_mont = jnp.zeros((NL, S.num_rest), jnp.int32)
     else:
         rest = ps.W[lo : lo + S.num_rest]
         actual_small = is_small or all(
             v < (1 << 64) for v in ps.W[lo : lo + S.num_rest_unpadded]
         )
-        comm_W_rest = pcs.commit(ck, _upload_mont(engine, rest), r_W_rest,
-                                 actual_small)
+        rest_mont = _upload_mont(engine, rest)
+        comm_W_rest = pcs.commit(ck, rest_mont, r_W_rest, actual_small)
     transcript.absorb_bytes(
         b"comm_W_rest", comm_W_rest.to_transcript_bytes(engine.curve)
     )
@@ -212,8 +218,10 @@ def r1cs_instance_and_witness(engine: Engine, ps: PrecommittedState,
     blinds = [b for b in (ps.r_W_shared, ps.r_W_precommitted) if b is not None]
     blinds.append(r_W_rest)
     r_W = pcs.combine_blinds(blinds)
-    W = R1CSWitness(W=_upload_mont(engine, ps.W), r_W=r_W,
-                    is_small=actual_small, W_host=list(ps.W))
+    W_dev = (jnp.concatenate([ps.W_prefix_mont, rest_mont], axis=1)
+             if lo else rest_mont)
+    W = R1CSWitness(W=W_dev, r_W=r_W, is_small=actual_small,
+                    W_host=list(ps.W))
     return U, W
 
 
@@ -265,11 +273,15 @@ class SpartanSNARK:
                 engine, prep.ps, S, pk.ck, circuit, is_small, transcript, rng
             )
 
-        # z = (W, 1, public, challenges), zero-padded to 2 * num_vars
+        # z = (W, 1, public, challenges), zero-padded to 2 * num_vars —
+        # built on DEVICE from the witness planes; only the tiny IO tail
+        # is uploaded per proof
         num_vars = S.num_vars
-        z_host = (W.W_host + [1] + U.public_values + U.challenges)
-        z_host += [0] * (2 * num_vars - len(z_host))
-        z = _upload_mont(engine, z_host)
+        tail_vals = [1] + U.public_values + U.challenges
+        tail = _upload_mont(engine, tail_vals)
+        pad = jnp.zeros((NL, 2 * num_vars - num_vars - len(tail_vals)),
+                        jnp.int32)
+        z = jnp.concatenate([W.W, tail, pad], axis=1)
 
         num_rounds_x = _log2(S.num_cons)
         num_rounds_y = _log2(num_vars) + 1
