@@ -246,6 +246,178 @@ class SumcheckProverQuad:
         return coeffs_out, r_out, finals, claim
 
 
+class SumcheckProverCubicEq:
+    """Gruen/BDDT eq-split cubic sum-check (sumcheck.rs:920-1428).
+
+    Protocol-identical to SumcheckProverCubic (same round polynomials,
+    same transcript bytes) but never materializes the 2^m eq table:
+
+    * eq(tau, x) factors into bound-prefix (a running scalar P), the
+      current variable (the linear factor l(X) = eq(tau_j, X)), and
+      remaining-variable tables — a left/right split so the per-round
+      tables total 2^(m/2) entries (Gruen, eprint 2024/108 S3).
+    * Only t(0) and t(inf) need N-scaling sums; t(1) derives from the
+      running claim via the host-precomputed 1/tau_j (BDDT, eprint
+      2025/1117 S6.2).  tau_j == 0 falls back to a third sum.
+    * Round 0 of a zero-check (satisfied R1CS) skips the t(0) sum
+      entirely (sumcheck.rs:1163-1270).
+
+    Per-round device cost: 2 N-scaling sums + 3 binds (~7 muls per
+    pair), vs the explicit-eq path's 3 sums + 4 binds (~10) plus the
+    2^m-element eq table build and its memory traffic.
+    """
+
+    def __init__(self, ops: FieldOps):
+        self.ops = ops
+
+    # round kernels ------------------------------------------------------
+    def _weighted_pair(self, EL, ER, f0, finf):
+        """t_raw sums of f0/finf against the (EL outer) x (ER inner)
+        weight grid; f* are (NL, L, R) when EL is not None else (NL, n)."""
+        ops = self.ops
+        if EL is None:
+            t0 = ops.sum_products(ER, f0) if f0 is not None else None
+            tinf = ops.sum_products(ER, finf)
+            return t0, tinf
+
+        def two_level(f):
+            t = ops._mul_cols(ER[:, None, :], f)  # (43, L, R)
+            t = ops._parallel_carry(t)
+            n = f.shape[2]
+            while n > 1:
+                k = min(n, 4096)
+                t = t.reshape(t.shape[:2] + (n // k, k)).sum(axis=-1)
+                t = ops._parallel_carry(t)
+                n //= k
+            inner = ops.acc_reduce(t[..., 0])  # (NL, L)
+            return ops.sum_products(EL, inner)
+
+        t0 = two_level(f0) if f0 is not None else None
+        return t0, two_level(finf)
+
+    @functools.lru_cache(maxsize=None)
+    def _step(self, n: int, el_len: int, zero_check: bool, fallback: bool):
+        """el_len == 0 -> single-level weights (second half)."""
+        ops = self.ops
+        half_const = ops.spec.two_inv * ops.spec.r_mod % ops.p
+
+        def step(A, Bp, C, *args):
+            if el_len:
+                EL, ER, P, claim, consts, tstate, t_round = args
+            else:
+                EL = None
+                ER, P, claim, consts, tstate, t_round = args
+            eq_0, eq_slope, eq_m1, inv_tau = (consts[:, i] for i in range(4))
+            half = n // 2
+            A_l, A_h = A[:, :half], A[:, half:]
+            B_l, B_h = Bp[:, :half], Bp[:, half:]
+            C_l, C_h = C[:, :half], C[:, half:]
+            A_d, B_d, C_d = (ops.sub(A_h, A_l), ops.sub(B_h, B_l),
+                             ops.sub(C_h, C_l))
+
+            def grid(x):
+                return x.reshape(NL, el_len, half // el_len) if el_len else x
+
+            f0 = None
+            if not zero_check:
+                f0 = grid(ops.sub(ops.mont_mul(A_l, B_l), C_l))
+            finf = grid(ops.mont_mul(A_d, B_d))
+            t0_raw, tinf_raw = self._weighted_pair(EL, ER, f0, finf)
+
+            Tinf = ops.mont_mul(tinf_raw, P)
+            c3 = ops.mont_mul(eq_slope, Tinf)  # s_leading
+            if zero_check:
+                zero = jnp.zeros((NL,), jnp.int32)
+                T0, c0, e1 = zero, zero, zero
+            else:
+                T0 = ops.mont_mul(t0_raw, P)
+                c0 = ops.mont_mul(eq_0, T0)  # s(0)
+                e1 = ops.sub(claim, c0)  # s(1)
+            if fallback:
+                # tau == 0: compute t(-1) directly with a third sum
+                fm1 = grid(ops.sub(
+                    ops.mont_mul(ops.sub(ops.double(A_l), A_h),
+                                 ops.sub(ops.double(B_l), B_h)),
+                    ops.sub(ops.double(C_l), C_h)))
+                _, tm1_raw = self._weighted_pair(EL, ER, None, fm1)
+                Tm1 = ops.mont_mul(tm1_raw, P)
+            else:
+                T1 = ops.mont_mul(e1, inv_tau)  # s(1)/(tau*P) * P
+                Tm1 = ops.sub(ops.add(ops.double(Tinf), ops.double(T0)), T1)
+            s_m1 = ops.mont_mul(eq_m1, Tm1)
+            c1 = ops.sub(ops.mul_const(ops.sub(e1, s_m1), half_const), c3)
+            c2 = ops.sub(ops.mul_const(ops.add(e1, s_m1), half_const), c0)
+            coeffs = jnp.stack([c0, c1, c2, c3], axis=1)
+
+            td = DeviceTranscript(ops, state=tstate,
+                                  round=jnp.asarray(t_round, jnp.uint32))
+            absorb_unipoly(td, coeffs)
+            r = td.squeeze_mont(b"c")
+            new_claim = unipoly_eval_dev(ops, coeffs, r)
+
+            rb = jnp.broadcast_to(r[:, None], (NL, half))
+            A_n = ops.add(A_l, ops.mont_mul(rb, A_d))
+            B_n = ops.add(B_l, ops.mont_mul(rb, B_d))
+            C_n = ops.add(C_l, ops.mont_mul(rb, C_d))
+            eq_tau_r = ops.add(eq_0, ops.mont_mul(eq_slope, r))
+            P_n = ops.mont_mul(P, eq_tau_r)
+            return A_n, B_n, C_n, P_n, new_claim, r, coeffs, td.state
+
+        return cached_jit(step)
+
+    # driver -------------------------------------------------------------
+    def prove(self, td: DeviceTranscript, A, Bp, C, claim, taus: list[int],
+              spec, zero_check: bool = False):
+        """Run all m rounds.  ``taus``: host canonical ints (the host
+        squeezes them before the sum-check starts); ``spec``: FieldSpec
+        of the scalar field.  Returns (coeffs list, r list,
+        (A,B,C) finals, final claim) like SumcheckProverCubic.prove."""
+        from ..field.limbs import ints_to_limbs_np
+        from ..polys.eq import eq_evals_host
+
+        ops = self.ops
+        p = spec.modulus
+        m = len(taus)
+        assert A.shape[1] == 1 << m
+        fh = m // 2
+
+        def up(vals, mont=True):
+            return jnp.asarray(ints_to_limbs_np(vals, spec, mont=mont))
+
+        ER_full = up(eq_evals_host(spec, taus[fh:]))
+        P = ops.const(ops.spec.r_mod)  # running eq prefix, starts at ONE
+        coeffs_out, r_out = [], []
+        n = 1 << m
+        for j in range(m):
+            tau = taus[j] % p
+            consts = up([(1 - tau) % p, (2 * tau - 1) % p, (2 - 3 * tau) % p,
+                         pow(tau, -1, p) if tau else 0])
+            two_level = j < fh - 1
+            if two_level:
+                EL = up(eq_evals_host(spec, taus[j + 1 : fh]))
+                ER = ER_full
+                el_len = EL.shape[1]
+            else:
+                ER = up(eq_evals_host(spec, taus[j + 1 :]))
+                el_len = 0
+            step = self._step(n, el_len, zero_check and j == 0, tau == 0)
+            args = (A, Bp, C) + ((EL, ER) if two_level else (ER,)) + (
+                P, claim, consts, td.state, round_dev(int(td.round)))
+            A, Bp, C, P, claim, r, coeffs, tstate = step(*args)
+            td.state = tstate
+            td.round += 1
+            coeffs_out.append(coeffs)
+            r_out.append(r)
+            n //= 2
+        finals = (A[:, 0], Bp[:, 0], C[:, 0])
+        return coeffs_out, r_out, finals, claim
+
+
+@functools.lru_cache(maxsize=None)
+def get_cubic_eq_prover(ops: FieldOps) -> "SumcheckProverCubicEq":
+    return SumcheckProverCubicEq(ops)
+
+
 class SpartanInnerRound0:
     """The manual BDDT first round of Spartan's inner sum-check
     (reference spartan.rs:326-394).

@@ -131,3 +131,75 @@ def test_quad_sumcheck_end_to_end():
     ea, eb = (_fetch_scalar(v) for v in finals)
     assert final_claim == ea * eb % p
     assert final_claim == _fetch_scalar(claim)
+
+
+def test_gruen_eq_split_matches_explicit_eq_zero_check():
+    """SumcheckProverCubicEq must be byte-identical to SumcheckProverCubic
+    on a satisfied (zero-check) instance: same round coefficients, same
+    challenges, same transcript state (sumcheck.rs:920-1428 computes the
+    same messages faster)."""
+    from spartan2_tpu.sumcheck.prove import SumcheckProverCubicEq
+
+    m = 6
+    n = 1 << m
+    p = F.modulus
+    th = Transcript(F, b"gr")
+    td1 = DeviceTranscript(OPS, b"gr")
+    td2 = DeviceTranscript(OPS, b"gr")
+    taus_host = [th.squeeze(b"t") for _ in range(m)]
+    for td in (td1, td2):
+        for _ in range(m):
+            td.squeeze_mont(b"t")
+
+    a = _rand(n, 11)
+    b = _rand(n, 12)
+    c = [x * y % p for x, y in zip(a, b)]
+
+    A = jnp.asarray(ints_to_limbs_np(a, F))
+    B = jnp.asarray(ints_to_limbs_np(b, F))
+    C = jnp.asarray(ints_to_limbs_np(c, F))
+    claim0 = jnp.asarray(ints_to_limbs_np([0], F))[:, 0]
+
+    eq = eq_evals_device(OPS, jnp.asarray(ints_to_limbs_np(taus_host, F)))
+    c1, r1, f1, cl1 = SumcheckProverCubic(OPS).prove(td1, eq, A, B, C, claim0)
+    c2, r2, f2, cl2 = SumcheckProverCubicEq(OPS).prove(
+        td2, A, B, C, claim0, taus_host, F, zero_check=True)
+
+    for x, y in zip(c1, c2):
+        assert limbs_to_ints(x, F) == limbs_to_ints(y, F)
+    assert [_fetch_scalar(x) for x in r1] == [_fetch_scalar(x) for x in r2]
+    assert [_fetch_scalar(x) for x in f1] == [_fetch_scalar(x) for x in f2]
+    assert _fetch_scalar(cl1) == _fetch_scalar(cl2)
+    assert bytes(np.asarray(td1.state)) == bytes(np.asarray(td2.state))
+
+
+def test_gruen_eq_split_nonzero_claim_and_odd_m():
+    """Non-zero-check path with odd m (uneven left/right split)."""
+    from spartan2_tpu.sumcheck.prove import SumcheckProverCubicEq
+
+    m = 5
+    n = 1 << m
+    p = F.modulus
+    th = Transcript(F, b"gr2")
+    td = DeviceTranscript(OPS, b"gr2")
+    taus_host = [th.squeeze(b"t") for _ in range(m)]
+    for _ in range(m):
+        td.squeeze_mont(b"t")
+
+    a, b, c = _rand(n, 13), _rand(n, 14), _rand(n, 15)
+    eq_host = eq_evals_host(F, taus_host)
+    claim_int = sum(e * (x * y - z) for e, x, y, z in zip(eq_host, a, b, c)) % p
+
+    A = jnp.asarray(ints_to_limbs_np(a, F))
+    B = jnp.asarray(ints_to_limbs_np(b, F))
+    C = jnp.asarray(ints_to_limbs_np(c, F))
+    claim0 = jnp.asarray(ints_to_limbs_np([claim_int], F))[:, 0]
+
+    coeffs, rs_dev, finals, claim = SumcheckProverCubicEq(OPS).prove(
+        td, A, B, C, claim0, taus_host, F)
+    final_claim, rs_host = _proof_from_coeffs(coeffs).verify(claim_int, m, 3, th)
+    assert rs_host == [_fetch_scalar(r) for r in rs_dev]
+    ea, eb, ec = (_fetch_scalar(v) for v in finals)
+    eq_rx = eq_evaluate(F, taus_host, rs_host)
+    assert final_claim == eq_rx * (ea * eb - ec) % p
+    assert bytes(np.asarray(td.state)) == th.state
