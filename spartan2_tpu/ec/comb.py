@@ -1,0 +1,173 @@
+"""Fixed-base comb MSM tables for static generator sets.
+
+TPU-native equivalent of the reference's ``FixedBaseMul`` windowed
+fixed-base tables (src/provider/msm.rs:637-774) and the small-width
+fixed-base path in the Hyrax row commit (src/provider/pcs/hyrax_pc.rs:
+230-303).  The Hyrax commitment generators are static per key, so each
+row MSM ``sum_j v[row, j] * G_j`` becomes:
+
+    1. split every scalar into 6-bit digits (6 == LIMB_BITS/2, so a digit
+       is a shift+mask of one limb plane — no cross-limb carries),
+    2. gather precomputed points T[w][d][j] = (d << 6w) * G_j,
+    3. one log-depth incomplete-add tree over the (window x column) axis.
+
+Per row this costs ``n_win * C`` point additions instead of the ladder's
+``nbits * C`` doubles+adds — ~12x fewer point ops for 64-bit scalars.
+
+Table layout: Jacobian coordinate planes of shape (NL, n_win * 64 * C);
+entry d == 0 stores the identity (Z == 0), so zero digits need no mask.
+
+Incomplete-add safety: for HONEST scalars a collision between two
+tree partial sums would yield a nontrivial discrete-log relation among
+independently hashed generators (or an exact >=124-bit congruence on a
+randomly sampled scalar), which a computationally bounded honest
+process produces with negligible probability — same argument as the
+reference's batched additions (provider/traits.rs add_affine_vartime).
+For ADVERSARIAL scalars (verifier-side MSMs over proof-supplied
+values) that argument fails: an attacker can lattice-solve
+s_hi * 2^(6w) = s_lo (mod q) to force two partial sums of the SAME
+generator to collide.  Pass ``complete=True`` there — the tree then
+uses complete adds (the per-entry gather is unaffected).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..field.constants import LIMB_BITS, NUM_LIMBS
+from ..field.jnp_ops import NL
+from ..utils.jitcache import cached_jit
+
+WINDOW_BITS = 6
+DIGITS = 1 << WINDOW_BITS  # 64
+assert LIMB_BITS == 2 * WINDOW_BITS
+
+
+def _n_windows(nbits: int) -> int:
+    return -(-nbits // WINDOW_BITS)
+
+
+class FixedBaseComb:
+    """Comb tables over one static generator vector (device-resident).
+
+    ``dc``: DeviceCurve; ``Qx/Qy``: (NL, C) affine Montgomery coordinate
+    planes of the generators; ``nbits``: static scalar width bound
+    (64+2 for small scalars, NUM_LIMBS*LIMB_BITS for full width).
+    """
+
+    def __init__(self, dc, Qx: jnp.ndarray, Qy: jnp.ndarray, nbits: int):
+        self.dc = dc
+        self.C = Qx.shape[1]
+        self.nbits = nbits
+        self.n_win = _n_windows(nbits)
+        self._tab = self._build()(Qx, Qy)
+        self._commit_cache: dict = {}
+
+    def _build(self):
+        dc = self.dc
+        n_win, C = self.n_win, self.C
+
+        def build(Qx, Qy):
+            one = dc.fb.const(dc.fb.spec.r_mod, (C,))
+            # base points B_w = 2^(6w) * G_j via a window-doubling scan
+            base0 = (Qx, Qy, one)
+
+            def dbl6(base, _):
+                for _ in range(WINDOW_BITS):
+                    base = dc.dbl(base)
+                return base, base
+
+            _, rest = jax.lax.scan(dbl6, base0, None, length=n_win - 1)
+            B = tuple(
+                jnp.moveaxis(jnp.concatenate([b0[None], r], axis=0), 0, 1)
+                for b0, r in zip(base0, rest)
+            )  # (NL, n_win, C)
+
+            # digit chain T[d] = T[d-1] + B (complete adds: T[2] doubles)
+            def chain(acc, _):
+                acc = dc.add(acc, B)
+                return acc, acc
+
+            inf = dc.infinity((n_win, C))
+            _, tab = jax.lax.scan(chain, inf, None, length=DIGITS - 1)
+            # tab: tuple of (DIGITS-1, NL, n_win, C); prepend the identity
+            return tuple(
+                jnp.concatenate([i[None], t], axis=0)  # (DIGITS, NL, n_win, C)
+                .transpose(1, 2, 0, 3)                 # (NL, n_win, DIGITS, C)
+                .reshape(NL, -1)
+                for i, t in zip(inf, tab)
+            )
+
+        return cached_jit(build)
+
+    # ------------------------------------------------------------------
+    def _digits(self, scal: jnp.ndarray) -> jnp.ndarray:
+        """(NL, *batch) canonical limbs -> (n_win, *batch) 6-bit digits."""
+        outs = []
+        for w in range(self.n_win):
+            limb = scal[w // 2]
+            sh = WINDOW_BITS * (w & 1)
+            outs.append((limb >> sh) & (DIGITS - 1))
+        return jnp.stack(outs)
+
+    def _rows_kernel(self, R: int, complete: bool):
+        dc = self.dc
+        n_win, C = self.n_win, self.C
+        lanes = n_win * C
+        m = 1 << (lanes - 1).bit_length()
+        addf = dc.add if complete else dc.add_incomplete
+
+        def kernel(scal, Tx, Ty, Tz):
+            # scal: (NL, R, C) canonical
+            d = self._digits(scal)  # (n_win, R, C)
+            w_ix = jnp.arange(n_win, dtype=jnp.int32)[:, None, None]
+            col = jnp.arange(C, dtype=jnp.int32)[None, None, :]
+            idx = (w_ix * DIGITS + d) * C + col  # (n_win, R, C)
+            idx = jnp.transpose(idx, (1, 0, 2)).reshape(R, lanes)
+            P = tuple(jnp.take(T, idx, axis=1) for T in (Tx, Ty, Tz))
+            n = lanes
+            if m != n:
+                inf = dc.infinity((R, m - n))
+                P = tuple(jnp.concatenate([c, i], axis=2)
+                          for c, i in zip(P, inf))
+                n = m
+            while n > 1:
+                half = n // 2
+                lo = tuple(c[:, :, :half] for c in P)
+                hi = tuple(c[:, :, half:] for c in P)
+                P = addf(lo, hi)
+                n = half
+            return tuple(c[:, :, 0] for c in P)
+
+        return kernel
+
+    @functools.lru_cache(maxsize=None)
+    def _rows_jit(self, R: int, complete: bool = False):
+        return cached_jit(self._rows_kernel(R, complete))
+
+    def rows_msm(self, scal_canon: jnp.ndarray, complete: bool = False):
+        """(NL, R, C) canonical scalars -> (NL, R) Jacobian row sums.
+
+        The row axis is chunked so the gathered-point working set stays
+        ~0.5 GB; the trailing chunk is zero-padded (zero digits hit the
+        identity table entries) so a single kernel shape serves all
+        chunks of one (R, C, nbits) family.
+        """
+        R = scal_canon.shape[1]
+        # chunk the row axis to bound the gathered-points working set
+        max_rows = max(1, (1 << 21) // (self.n_win * self.C))
+        if R <= max_rows:
+            return self._rows_jit(R, complete)(scal_canon, *self._tab)
+        n_chunks = -(-R // max_rows)
+        if R < n_chunks * max_rows:
+            pad = jnp.zeros((NL, n_chunks * max_rows - R, self.C), jnp.int32)
+            scal_canon = jnp.concatenate([scal_canon, pad], axis=1)
+        step = self._rows_jit(max_rows, complete)
+        parts = [step(scal_canon[:, lo : lo + max_rows], *self._tab)
+                 for lo in range(0, n_chunks * max_rows, max_rows)]
+        out = tuple(jnp.concatenate([p[i] for p in parts], axis=1)
+                    for i in range(3))
+        return tuple(c[:, :R] for c in out)

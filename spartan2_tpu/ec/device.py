@@ -272,7 +272,8 @@ class DeviceCurve:
         return tuple(jnp.concatenate([c, i], axis=1) for c, i in zip(P, inf))
 
     def _msm_impl(self, scalars_canon: jnp.ndarray, Qx: jnp.ndarray,
-                  Qy: jnp.ndarray, nbits: int) -> Point:
+                  Qy: jnp.ndarray, nbits: int,
+                  complete_tree: bool = False) -> Point:
         n = scalars_canon.shape[1]
         acc = self.infinity((n,))
 
@@ -286,24 +287,76 @@ class DeviceCurve:
             return self._sel(bit == 1, added, acc)
 
         acc = jax.lax.fori_loop(0, nbits, body, acc)
-        s = self.tree_sum(self._pad_pow2(acc))
+        s = self.tree_sum(self._pad_pow2(acc), complete=complete_tree)
         return tuple(c[:, 0] for c in s)
 
     @functools.lru_cache(maxsize=None)
-    def _msm_jit(self, nbits: int):
-        return cached_jit(lambda s, x, y: self._msm_impl(s, x, y, nbits))
+    def _msm_jit(self, nbits: int, complete_tree: bool = False):
+        return cached_jit(
+            lambda s, x, y: self._msm_impl(s, x, y, nbits, complete_tree))
 
     def msm(self, scalars_canon: jnp.ndarray, Qx: jnp.ndarray, Qy: jnp.ndarray,
-            nbits: int = NUM_LIMBS * LIMB_BITS) -> Point:
+            nbits: int = NUM_LIMBS * LIMB_BITS,
+            complete_tree: bool = False) -> Point:
         """MSM sum_i s_i * Q_i -> single point (coords shape (NL,)).
 
         ``scalars_canon``: (NL, n) CANONICAL (non-Montgomery) scalar limbs.
         ``Qx/Qy``: (NL, n) affine Montgomery coords (no infinities).
         ``nbits``: static bound on scalar bit width (64 for small scalars).
-        Jitted per (n, nbits) so the persistent compilation cache reuses
-        the (expensive) XLA compile across processes.
+        ``complete_tree``: use complete adds for the cross-lane tree —
+        REQUIRED when the points are adversarial (verifier-side MSMs over
+        proof-supplied commitments): equal lane sums are trivial to craft
+        there, while the per-lane ladder add stays safe (acc == ±Q needs
+        a scalar prefix ≡ ±2^-1 mod q, unreachable by transcript
+        grinding).  Jitted per (n, nbits, complete_tree) so the
+        persistent compilation cache reuses the XLA compile.
         """
-        return self._msm_jit(nbits)(scalars_canon, Qx, Qy)
+        return self._msm_jit(nbits, complete_tree)(scalars_canon, Qx, Qy)
+
+    @functools.lru_cache(maxsize=None)
+    def _msm_rows_jit(self, nbits: int, complete: bool):
+        def f(sc, Qx, Qy):
+            # sc/Qx/Qy: (NL, R, I) — R independent MSMs sharing a kernel
+            R, I = sc.shape[1], sc.shape[2]
+            acc = self.infinity((R, I))
+
+            def body(i, acc):
+                bit_idx = nbits - 1 - i
+                limb = bit_idx // LIMB_BITS
+                sh = bit_idx % LIMB_BITS
+                bit = (sc[limb] >> sh) & 1
+                acc = self.dbl(acc)
+                added = self.add_mixed_incomplete(acc, Qx, Qy)
+                return self._sel(bit == 1, added, acc)
+
+            acc = jax.lax.fori_loop(0, nbits, body, acc)
+            addf = self.add if complete else self.add_incomplete
+            n = I
+            m = 1 << (n - 1).bit_length()
+            if m != n:
+                inf = self.infinity((R, m - n))
+                acc = tuple(jnp.concatenate([c, i], axis=2)
+                            for c, i in zip(acc, inf))
+                n = m
+            while n > 1:
+                half = n // 2
+                acc = addf(tuple(c[:, :, :half] for c in acc),
+                           tuple(c[:, :, half:] for c in acc))
+                n = half
+            return tuple(c[:, :, 0] for c in acc)
+
+        return cached_jit(f)
+
+    def msm_rows(self, scalars_canon: jnp.ndarray, Qx: jnp.ndarray,
+                 Qy: jnp.ndarray, nbits: int = NUM_LIMBS * LIMB_BITS,
+                 complete_tree: bool = False) -> Point:
+        """R row MSMs over runtime points in one kernel: (NL, R, I)
+        scalars/points -> (NL, R) Jacobian sums (the shape of the
+        reference's msm_shared_weights, msm.rs:228-356 — all rows share
+        one scalar decomposition sweep).  ``complete_tree`` as in
+        ``msm``: required when points are proof-supplied."""
+        return self._msm_rows_jit(nbits, complete_tree)(
+            scalars_canon, Qx, Qy)
 
     @functools.lru_cache(maxsize=None)
     def _msm_binary_jit(self):

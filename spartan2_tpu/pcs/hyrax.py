@@ -26,7 +26,14 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..errors import SpartanError
+from ..errors import (
+    DivisionByZeroError,
+    InvalidCommitmentLengthError,
+    InvalidInputLengthError,
+    InvalidPCSError,
+    ProofVerifyError,
+    SpartanError,
+)
 from ..utils.jitcache import cached_jit
 from ..ec.curve import Affine, CurveSpec
 from ..ec.device import DeviceCurve, Point
@@ -91,6 +98,25 @@ class HyraxCommitmentKey:
         self._Qy = jnp.asarray(ints_to_limbs_np([g[1] for g in self.ck], base, mont=True))
         self._hx = jnp.asarray(ints_to_limbs_np([self.h[0]], base, mont=True))
         self._hy = jnp.asarray(ints_to_limbs_np([self.h[1]], base, mont=True))
+        self._combs: dict = {}
+
+    def comb(self, nbits: int):
+        """Fixed-base comb tables over the column generators (lazy, cached
+        per scalar-width class; reference FixedBaseMul, msm.rs:637-774)."""
+        from ..ec.comb import FixedBaseComb
+
+        if nbits not in self._combs:
+            self._combs[nbits] = FixedBaseComb(self.dc, self._Qx, self._Qy, nbits)
+        return self._combs[nbits]
+
+    def comb_h(self):
+        """Comb tables for the blind generator h (full scalar width)."""
+        key = ("h", NL * 12)
+        if key not in self._combs:
+            from ..ec.comb import FixedBaseComb
+
+            self._combs[key] = FixedBaseComb(self.dc, self._hx, self._hy, NL * 12)
+        return self._combs[key]
 
 
 # The verifier key carries the same generators (hyrax_pc.rs:100-110).
@@ -164,14 +190,11 @@ class HyraxPCS:
             self._row_kernel_cache[key] = cached_jit(kernel)
         return self._row_kernel_cache[key](v_canon_rows, ck._Qx, ck._Qy)
 
-    def commit(self, ck: HyraxCommitmentKey, v_mont: jnp.ndarray, r: HyraxBlind,
-               is_small: bool = False) -> HyraxCommitment:
-        """Commit to (NL, n) Montgomery-form device scalars.
-
-        One fused kernel: canonicalize, reshape to rows, ladder-MSM all
-        rows, add blind*h per row (reference per-row loop at
-        hyrax_pc.rs:230-300).
-        """
+    def commit_raw(self, ck: HyraxCommitmentKey, v_mont: jnp.ndarray,
+                   is_small: bool = False):
+        """Unblinded row MSMs as device Jacobian planes (the reference's
+        commit_without_blind raw-MSM cache, hyrax_pc.rs:533-570): one
+        fused comb-table kernel over all rows."""
         n = v_mont.shape[1]
         C = ck.num_cols
         R = _div_ceil(n, C)
@@ -181,17 +204,29 @@ class HyraxPCS:
             )
         v_canon = self.fs.from_mont(v_mont).reshape(NL, R, C)
         nbits = 64 if is_small else NL * 12
-        rows = self._rows_msm(ck, v_canon, nbits)
+        return ck.comb(nbits).rows_msm(v_canon)
 
-        # blind contribution: r_i * h per row, device ladder over R lanes
+    def commit_from_raw(self, ck: HyraxCommitmentKey, raw,
+                        r: HyraxBlind) -> HyraxCommitment:
+        """Blind cached raw row MSMs: total_i = raw_i + r_i * h (the
+        reference's commit_incremental fast path when only the blind is
+        fresh, hyrax_pc.rs:572-607)."""
         blinds_canon = jnp.asarray(
             ints_to_limbs_np(r.blind, self.curve.scalar, mont=False)
         )
-        hx = jnp.broadcast_to(ck._hx, (NL, R))
-        hy = jnp.broadcast_to(ck._hy, (NL, R))
-        bl = self.dc.msm_points_per_lane(blinds_canon, hx, hy)
-        total = self.dc.add(rows, bl)
+        bl = ck.comb_h().rows_msm(blinds_canon[:, :, None])
+        total = self.dc.add(raw, bl)
         return HyraxCommitment(self.dc.to_affine_host(total))
+
+    def commit(self, ck: HyraxCommitmentKey, v_mont: jnp.ndarray, r: HyraxBlind,
+               is_small: bool = False) -> HyraxCommitment:
+        """Commit to (NL, n) Montgomery-form device scalars.
+
+        One fused kernel: canonicalize, reshape to rows, comb-MSM all
+        rows, add blind*h per row (reference per-row loop at
+        hyrax_pc.rs:230-300).
+        """
+        return self.commit_from_raw(ck, self.commit_raw(ck, v_mont, is_small), r)
 
     def commit_host(self, ck: HyraxCommitmentKey, v: list[int], r: HyraxBlind,
                     is_small: bool = False) -> HyraxCommitment:
@@ -208,7 +243,13 @@ class HyraxPCS:
         return HyraxCommitment(comm)
 
     def commit_zeros(self, ck: HyraxCommitmentKey, n: int, r: HyraxBlind) -> HyraxCommitment:
+        """Blind-only commitment (hyrax_pc.rs:305-319): r_i * h per row."""
         num_rows = _div_ceil(n, ck.num_cols)
+        if num_rows >= 8:
+            blinds_canon = jnp.asarray(
+                ints_to_limbs_np(r.blind, self.curve.scalar, mont=False))
+            pts = ck.comb_h().rows_msm(blinds_canon[:, :, None])
+            return HyraxCommitment(self.dc.to_affine_host(pts))
         return HyraxCommitment(
             [self.curve.scalar_mul(r.blind[i], ck.h) for i in range(num_rows)]
         )
@@ -223,7 +264,8 @@ class HyraxPCS:
     def rerandomize_commitment(self, ck: HyraxCommitmentKey, comm: HyraxCommitment,
                                r_old: HyraxBlind, r_new: HyraxBlind) -> HyraxCommitment:
         if len(comm.comm) != len(r_old.blind) or len(comm.comm) != len(r_new.blind):
-            raise SpartanError("rerandomize_commitment: length mismatch")
+            raise InvalidCommitmentLengthError(
+                "rerandomize_commitment: length mismatch")
         p = self.curve.scalar.modulus
         out = []
         for pt, ro, rn in zip(comm.comm, r_old.blind, r_new.blind):
@@ -233,7 +275,7 @@ class HyraxPCS:
     @staticmethod
     def combine_commitments(comms: list[HyraxCommitment]) -> HyraxCommitment:
         if not comms:
-            raise SpartanError("combine_commitments: empty")
+            raise InvalidCommitmentLengthError("combine_commitments: empty")
         out = []
         for cm in comms:
             out.extend(cm.comm)
@@ -242,7 +284,7 @@ class HyraxPCS:
     @staticmethod
     def combine_blinds(blinds: list[HyraxBlind]) -> HyraxBlind:
         if not blinds:
-            raise SpartanError("combine_blinds: empty")
+            raise InvalidInputLengthError("combine_blinds: empty")
         out = []
         for b in blinds:
             out.extend(b.blind)
@@ -287,7 +329,7 @@ class HyraxPCS:
         p = scalar.modulus
         n = poly_mont.shape[1]
         if n != (1 << len(point)):
-            raise SpartanError("Hyrax prove: poly/point size mismatch")
+            raise InvalidInputLengthError("Hyrax prove: poly/point size mismatch")
 
         transcript.absorb_bytes(b"poly_com", comm.to_transcript_bytes(self.curve))
 
@@ -306,7 +348,7 @@ class HyraxPCS:
             LZ = self._bind_rows_device(poly_mont, L, len(Rv))
             r_LZ = sum(l * b for l, b in zip(L, blind.blind)) % p
             comm_LZ = self.curve.add(
-                self._msm_auto(LZ, ck.ck[: len(LZ)]),
+                self._msm_gens(ck, LZ),
                 self.curve.scalar_mul(r_LZ, ck.h),
             )
 
@@ -363,7 +405,7 @@ class HyraxPCS:
         r_delta = rand(p)
         r_beta = rand(p)
         delta = self.curve.add(
-            self._msm_auto(d_vec, ck.ck[: len(d_vec)]),
+            self._msm_gens(ck, d_vec),
             self.curve.scalar_mul(r_delta, ck.h),
         )
         ip_bd = sum(x * y for x, y in zip(b_vec, d_vec)) % p
@@ -390,15 +432,15 @@ class HyraxPCS:
         r = transcript.squeeze(b"r")
 
         if len(proof.z_vec) != len(b_vec) or len(vk.ck) < len(proof.z_vec):
-            raise SpartanError("IPA verify: z_vec length mismatch")
+            raise InvalidPCSError("IPA verify: z_vec length mismatch")
 
         lhs1 = curve.add(curve.scalar_mul(r, comm_a), proof.delta)
         rhs1 = curve.add(
-            self._msm_auto(proof.z_vec, vk.ck[: len(proof.z_vec)]),
+            self._msm_gens(vk, proof.z_vec),
             curve.scalar_mul(proof.z_delta, vk.h),
         )
         if lhs1 != rhs1:
-            raise SpartanError("IPA verify: first equation failed")
+            raise InvalidPCSError("IPA verify: first equation failed")
 
         ip_zb = sum(x * y for x, y in zip(proof.z_vec, b_vec)) % p
         lhs2 = curve.add(curve.scalar_mul(r, comm_c), proof.beta)
@@ -407,7 +449,7 @@ class HyraxPCS:
             curve.scalar_mul(proof.z_beta, ck_eval.h),
         )
         if lhs2 != rhs2:
-            raise SpartanError("IPA verify: second equation failed")
+            raise InvalidPCSError("IPA verify: second equation failed")
 
     # ------------------------------------------------------------------
     # direct openings (hyrax_pc.rs:609-711): RLC of row commitments —
@@ -445,7 +487,7 @@ class HyraxPCS:
         p = scalar.modulus
         num_cols = vk.num_cols
         if len(v) != num_cols:
-            raise SpartanError("direct opening: v length mismatch")
+            raise InvalidPCSError("direct opening: v length mismatch")
         n = 1 << len(point)
         num_rows = _div_ceil(n, num_cols)
         num_vars_rows = num_rows.bit_length() - 1
@@ -453,13 +495,14 @@ class HyraxPCS:
             comm_LZ = comm.comm[0]
         else:
             L = eq_evals_host(scalar, point[:num_vars_rows])
-            comm_LZ = self._msm_auto(L[: len(comm.comm)], comm.comm)
+            comm_LZ = self._msm_auto(L[: len(comm.comm)], comm.comm,
+                                     adversarial_points=True)
         expected = self.curve.add(
-            self._msm_auto(v, vk.ck[: len(v)]),
+            self._msm_gens(vk, v),
             self.curve.scalar_mul(combined_blind, vk.h),
         )
         if comm_LZ != expected:
-            raise SpartanError("direct opening: commitment mismatch")
+            raise InvalidPCSError("direct opening: commitment mismatch")
         Rv = eq_evals_host(scalar, point[num_vars_rows:])
         return sum(x * y for x, y in zip(v, Rv)) % p
 
@@ -469,17 +512,36 @@ class HyraxPCS:
     def fold_commitments(self, comms: list[HyraxCommitment],
                          weights: list[int]) -> HyraxCommitment:
         if len(comms) != len(weights) or not comms:
-            raise SpartanError("fold_commitments: bad input")
+            raise InvalidInputLengthError("fold_commitments: bad input")
         rows = len(comms[0].comm)
+        no_inf = all(pt is not None for cm in comms for pt in cm.comm)
+        if rows * len(comms) >= 64 and no_inf:
+            # shared-weight device MSM: one ladder kernel covers every
+            # row (reference msm_shared_weights, msm.rs:228-356);
+            # complete tree — commitments may come from a proof
+            base = self.curve.base
+            sc1 = jnp.asarray(ints_to_limbs_np(
+                list(weights), self.curve.scalar, mont=False))
+            sc = jnp.broadcast_to(sc1[:, None, :], (NL, rows, len(comms)))
+            Qx = jnp.asarray(ints_to_limbs_np(
+                [cm.comm[i][0] for i in range(rows) for cm in comms],
+                base, mont=True)).reshape(NL, rows, len(comms))
+            Qy = jnp.asarray(ints_to_limbs_np(
+                [cm.comm[i][1] for i in range(rows) for cm in comms],
+                base, mont=True)).reshape(NL, rows, len(comms))
+            pts = self.dc.msm_rows(sc, Qx, Qy, complete_tree=True)
+            return HyraxCommitment(self.dc.to_affine_host(pts))
         out = []
         for i in range(rows):
             pts = [cm.comm[i] for cm in comms]
-            out.append(self._msm_auto(list(weights), pts))
+            # commitments may come from a proof (NN verify folds)
+            out.append(self._msm_auto(list(weights), pts,
+                                      adversarial_points=True))
         return HyraxCommitment(out)
 
     def fold_blinds(self, blinds: list[HyraxBlind], weights: list[int]) -> HyraxBlind:
         if len(blinds) != len(weights) or not blinds:
-            raise SpartanError("fold_blinds: bad input")
+            raise InvalidInputLengthError("fold_blinds: bad input")
         p = self.curve.scalar.modulus
         rows = len(blinds[0].blind)
         return HyraxBlind(
@@ -487,8 +549,28 @@ class HyraxPCS:
         )
 
     # ------------------------------------------------------------------
-    def _msm_auto(self, scalars: list[int], points: list[Affine]) -> Affine:
-        """Host ints MSM: device kernel for large n, host Pippenger else."""
+    def _msm_gens(self, ck: HyraxCommitmentKey, scalars: list[int]) -> Affine:
+        """MSM over the leading column generators via fixed-base comb
+        tables (full scalar width).  Verifier-side scalars are
+        proof-supplied, so the add tree runs COMPLETE adds (see the
+        comb.py safety note on adversarial partial-sum collisions)."""
+        C = ck.num_cols
+        n = len(scalars)
+        if n > C or n < 32:
+            return self._msm_auto(scalars, ck.ck[:n])
+        sc = list(scalars) + [0] * (C - n)
+        arr = jnp.asarray(ints_to_limbs_np(sc, self.curve.scalar, mont=False))
+        pts = ck.comb(NL * 12).rows_msm(arr[:, None, :], complete=True)
+        return self.dc.to_affine_host(pts)[0]
+
+    def _msm_auto(self, scalars: list[int], points: list[Affine],
+                  adversarial_points: bool = False) -> Affine:
+        """Host ints MSM: device kernel for large n, host Pippenger else.
+
+        ``adversarial_points``: the points come from a proof (e.g. Hyrax
+        row commitments in verify) — equal lane sums are then trivial to
+        craft, so the cross-lane tree must use complete adds
+        (ec/device.py msm docstring)."""
         n = len(scalars)
         if n == 0:
             return None
