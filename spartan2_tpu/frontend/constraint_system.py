@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from typing import Callable, Optional, Protocol
 
-from ..errors import SpartanError
+from ..errors import SpartanError, SynthesisError
 from ..field.constants import FieldSpec
 
 Variable = tuple[str, int]
@@ -56,7 +56,7 @@ class ConstraintSystem:
         if not self.shape_mode:
             v = value() if callable(value) else value
             if v is None:
-                raise SpartanError("witness mode requires a value for alloc")
+                raise SynthesisError("witness mode requires a value for alloc")
             self.aux_assignment.append(v % self.field.modulus)
         return ("aux", idx)
 
@@ -67,7 +67,8 @@ class ConstraintSystem:
         else:
             v = value() if callable(value) else value
             if v is None:
-                raise SpartanError("witness mode requires a value for alloc_input")
+                raise SynthesisError(
+                    "witness mode requires a value for alloc_input")
             self.input_assignment.append(v % self.field.modulus)
         return ("input", idx)
 

@@ -4,8 +4,15 @@ Reference: src/polys/multilinear.rs.  The dense MLE over the boolean
 hypercube is stored index-major with variable 0 as the TOP bit (bind order
 = top variable first, multilinear.rs:95-164).  On device the evaluation
 table is a (NUM_LIMBS, 2^m) Montgomery limb array; binds halve the second
-axis.  The reference's lo_eff/hi_eff zero-prefix tracking is a host-side
-attribute used to slice device work to the non-zero prefix.
+axis.
+
+The reference's lo_eff/hi_eff zero-run tracking (multilinear.rs:36-43)
+shrinks per-bind work on sparse tails; on TPU dynamic extents would
+break the static shapes XLA needs, so the equivalents here are static:
+the inner sum-check's round 0 exploits the known (1, X, 0...) top-half
+structure via the num_extra BDDT correction (sumcheck/prove.py
+SpartanInnerRound0), and padded constraint rows cost only their nnz in
+the SpMV programs.
 """
 
 from __future__ import annotations

@@ -21,11 +21,12 @@ from typing import Optional
 import numpy as np
 import jax.numpy as jnp
 
-from ..errors import SpartanError, UnSatError
+from ..errors import IncorrectWitnessError, SpartanError, UnSatError
 from ..field.constants import FieldSpec
 from ..field.jnp_ops import NL, FieldOps
 from ..frontend.constraint_system import ConstraintSystem, SpartanCircuitAPI
 from ..pcs.hyrax import HyraxCommitment
+from ..polys.eq import eq_evals_host
 from ..transcript.transcript import Transcript
 from ..utils.jitcache import cached_jit
 from .sparse import DeviceSpMV, SparseMatrix
@@ -207,8 +208,20 @@ class SplitR1CSShape:
         t["At"] = DeviceSpMV.build(ops, self._transpose(self.A, ny), ny)
         t["Bt"] = DeviceSpMV.build(ops, self._transpose(self.B, ny), ny)
         t["Ct"] = DeviceSpMV.build(ops, self._transpose(self.C, ny), ny)
+        # filtered prefix/suffix programs for cached incremental SpMV
+        # (reference multiply_vec_precommitted + _incremental_into,
+        # r1cs/mod.rs:1112-1211; FilteredSpmv, sparse.rs:305-380)
+        lo = self.num_shared + self.num_precommitted
+        if 0 < lo < self.num_cols:
+            for name, M in (("A", self.A), ("B", self.B), ("C", self.C)):
+                t[name + "_pre"] = DeviceSpMV.build(
+                    ops, M, self.num_cons, col_max=lo)
+                t[name + "_sfx"] = DeviceSpMV.build(
+                    ops, M, self.num_cons, col_min=lo, col_max=self.num_cols)
         self._device = t
         self._mv_jit = None
+        self._mv_pre_jit = None
+        self._mv_inc_jit = None
         self._abc_jit = None
 
     def _transpose(self, M: SparseMatrix, rows_out: int) -> SparseMatrix:
@@ -225,6 +238,46 @@ class SplitR1CSShape:
                         d["C"].multiply_vec(z))
             self._mv_jit = cached_jit(f)
         return self._mv_jit(z_mont)
+
+    def multiply_vec_batched_device(self, z_batch: jnp.ndarray):
+        """(NL, I, num_cols) -> per-instance (Az, Bz, Cz) each
+        (NL, I, num_cons) (reference multiply_vec_batched,
+        r1cs/mod.rs:1132-1166)."""
+        d = self._device
+        if getattr(self, "_mv_batched_jit", None) is None:
+            def f(z):
+                return (d["A"].multiply_vec_batched(z),
+                        d["B"].multiply_vec_batched(z),
+                        d["C"].multiply_vec_batched(z))
+            self._mv_batched_jit = cached_jit(f)
+        return self._mv_batched_jit(z_batch)
+
+    def multiply_vec_precommitted_device(self, z_prefix: jnp.ndarray):
+        """Cacheable prefix products over the shared+precommitted columns
+        (reference multiply_vec_precommitted, r1cs/mod.rs:1112-1128).
+        ``z_prefix``: (NL, num_shared+num_precommitted)."""
+        d = self._device
+        if self._mv_pre_jit is None:
+            def f(z):
+                return (d["A_pre"].multiply_vec(z), d["B_pre"].multiply_vec(z),
+                        d["C_pre"].multiply_vec(z))
+            self._mv_pre_jit = cached_jit(f)
+        return self._mv_pre_jit(z_prefix)
+
+    def multiply_vec_incremental_device(self, z_suffix: jnp.ndarray, cached):
+        """cached prefix products + filtered SpMV over the suffix columns
+        (rest witness, ONE, public IO, challenges) — the reference's
+        multiply_vec_incremental_into (r1cs/mod.rs:1170-1211).
+        ``z_suffix``: (NL, num_cols - prefix)."""
+        d = self._device
+        ops = self._ops
+        if self._mv_inc_jit is None:
+            def f(z, ca, cb, cc):
+                return (ops.add(ca, d["A_sfx"].multiply_vec(z)),
+                        ops.add(cb, d["B_sfx"].multiply_vec(z)),
+                        ops.add(cc, d["C_sfx"].multiply_vec(z)))
+            self._mv_inc_jit = cached_jit(f)
+        return self._mv_inc_jit(z_suffix, *cached)
 
     def bind_and_prepare_poly_ABC_device(self, eq_rx: jnp.ndarray,
                                          r_mont: jnp.ndarray) -> jnp.ndarray:
@@ -246,6 +299,33 @@ class SplitR1CSShape:
     # ------------------------------------------------------------------
     # host-side evaluation / satisfaction
     # ------------------------------------------------------------------
+    def evaluate_at(self, r_x: list[int], r_y: list[int]):
+        """(eval_A, eval_B, eval_C) MLE evaluations at (r_x, r_y): device
+        eq-tables + SpMV + weighted sum when attached (one kernel, three
+        scalars pulled), host big-int walk otherwise."""
+        if self._device is None:
+            T_x = eq_evals_host(self.field, r_x)
+            T_y = eq_evals_host(self.field, r_y)
+            return self.evaluate_with_tables_fast(T_x, T_y)
+        from ..field.limbs import ints_to_limbs_np, limbs_to_ints
+        from ..polys.eq import eq_evals_device
+
+        d = self._device
+        ops = self._ops
+        rx = jnp.asarray(ints_to_limbs_np(r_x, self.field, mont=True))
+        ry = jnp.asarray(ints_to_limbs_np(r_y, self.field, mont=True))
+        if getattr(self, "_eval_jit", None) is None:
+            def f(rx, ry):
+                Tx = eq_evals_device(ops, rx)
+                Ty = eq_evals_device(ops, ry)[:, : self.num_cols]
+                return tuple(
+                    ops.sum_products(Tx, d[M].multiply_vec(Ty))
+                    for M in ("A", "B", "C")
+                )
+            self._eval_jit = cached_jit(f)
+        out = jnp.stack(self._eval_jit(rx, ry), axis=1)
+        return tuple(limbs_to_ints(np.asarray(out), self.field))
+
     def is_sat_host(self, z: list[int]) -> None:
         p = self.field.modulus
         az = self.A.multiply_vec_host(z)
@@ -287,14 +367,14 @@ class SplitR1CSInstance:
         shapes (r1cs/mod.rs:1490-1533)."""
         if S.num_shared > 0:
             if self.comm_W_shared is None:
-                raise SpartanError("comm_W_shared is missing")
+                raise IncorrectWitnessError("comm_W_shared is missing")
             pcs.check_commitment(self.comm_W_shared, S.num_shared, S.width)
             transcript.absorb_bytes(
                 b"comm_W_shared", self.comm_W_shared.to_transcript_bytes(pcs.curve)
             )
         if S.num_precommitted > 0:
             if self.comm_W_precommitted is None:
-                raise SpartanError("comm_W_precommitted is missing")
+                raise IncorrectWitnessError("comm_W_precommitted is missing")
             pcs.check_commitment(self.comm_W_precommitted, S.num_precommitted, S.width)
             transcript.absorb_bytes(
                 b"comm_W_precommitted",
@@ -302,7 +382,7 @@ class SplitR1CSInstance:
             )
         challenges = [transcript.squeeze(b"challenge") for _ in range(S.num_challenges)]
         if challenges != self.challenges:
-            raise SpartanError("challenges do not match")
+            raise IncorrectWitnessError("challenges do not match")
         pcs.check_commitment(self.comm_W_rest, S.num_rest, S.width)
         transcript.absorb_bytes(
             b"comm_W_rest", self.comm_W_rest.to_transcript_bytes(pcs.curve)

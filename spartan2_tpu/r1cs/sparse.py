@@ -121,10 +121,19 @@ class DeviceSpMV:
     gen_vals: jnp.ndarray  # (NL, n_gen) Montgomery form
 
     @classmethod
-    def build(cls, ops: FieldOps, m: SparseMatrix, num_rows: int) -> "DeviceSpMV":
+    def build(cls, ops: FieldOps, m: SparseMatrix, num_rows: int,
+              col_min: int = 0, col_max: int | None = None) -> "DeviceSpMV":
+        """Build a device SpMV program.  With ``col_min``/``col_max`` the
+        program covers only the column slice [col_min, col_max) with
+        gather indices rebased to col_min — the TPU form of the
+        reference's ``build_filtered`` / ``FilteredSpmv``
+        (sparse.rs:305-380), used for cached-prefix incremental SpMV."""
         p = m.field.modulus
         int_entries, gen_entries = [], []
         for row, col, val in m.iter_entries():
+            if col < col_min or (col_max is not None and col >= col_max):
+                continue
+            col -= col_min
             k = val if val <= SMALL_MAX else val - p if val >= p - SMALL_MAX else None
             if k is not None:
                 int_entries.append((row, col, k))
@@ -136,10 +145,12 @@ class DeviceSpMV:
         gc = np.array([e[1] for e in gen_entries] or [0], np.int32)
         gr = np.array([e[0] for e in gen_entries] or [num_rows], np.int32)
         gv = ints_to_limbs_np([e[2] for e in gen_entries] or [0], m.field, mont=True)
+        cls._check_row_density(int_entries, gen_entries, num_rows)
+        hi = m.cols if col_max is None else col_max
         return cls(
             ops=ops,
             num_rows=num_rows,
-            num_cols=m.cols,
+            num_cols=hi - col_min,
             int_cols=jnp.asarray(ic),
             int_rows=jnp.asarray(ir),
             int_coeffs=jnp.asarray(ik),
@@ -147,6 +158,32 @@ class DeviceSpMV:
             gen_rows=jnp.asarray(gr),
             gen_vals=jnp.asarray(gv),
         )
+
+    @staticmethod
+    def _check_row_density(int_entries, gen_entries, num_rows: int) -> None:
+        """Overflow guard for the lazy int32 accumulation
+        (the role of the reference's debug_assert carry checks,
+        big_num/limbs.rs:87): each segment-sum row must keep
+        |limb| < 2^29 before _reduce_lazy's offset add.  Per entry the
+        worst per-limb magnitude is |k| * (2^12 - 1) for the +/-small
+        stream (|k| <= SMALL_MAX) and ~2^13 for the Montgomery-product
+        stream (loose [0, 2p) operands).  A malicious or degenerate
+        dense row would silently corrupt, so raise instead."""
+        from ..errors import InvalidIndexError
+
+        budget = np.zeros(num_rows + 1, np.int64)
+        if int_entries:
+            rows = np.fromiter((e[0] for e in int_entries), np.int64)
+            mags = np.fromiter((abs(e[2]) for e in int_entries), np.int64)
+            np.add.at(budget, rows, mags * ((1 << 12) - 1))
+        if gen_entries:
+            rows = np.fromiter((e[0] for e in gen_entries), np.int64)
+            np.add.at(budget, rows, 1 << 13)
+        worst = int(budget.max()) if num_rows else 0
+        if worst >= 1 << 29:
+            raise InvalidIndexError(
+                f"row too dense for lazy int32 accumulation: "
+                f"worst per-limb magnitude {worst} >= 2^29")
 
     def multiply_vec(self, z: jnp.ndarray) -> jnp.ndarray:
         """(NL, num_cols) -> (NL, num_rows), values in Montgomery form."""
@@ -168,6 +205,28 @@ class DeviceSpMV:
         ).T
 
         total = acc_int[:, : self.num_rows] + acc_gen[:, : self.num_rows]
+        return _reduce_lazy(ops, total)
+
+
+    def multiply_vec_batched(self, z: jnp.ndarray) -> jnp.ndarray:
+        """(NL, I, num_cols) -> (NL, I, num_rows): one gather+segment-sum
+        over the whole instance batch (reference multiply_vec_batched,
+        sparse.rs:237-302 — rayon sub-batches become a device axis)."""
+        ops = self.ops
+        I = z.shape[1]
+        vi = jnp.take(z, self.int_cols, axis=2)  # (NL, I, n_int)
+        scaled = vi * self.int_coeffs[None, None, :]
+        acc_int = jax.ops.segment_sum(
+            jnp.moveaxis(scaled, 2, 0), self.int_rows,
+            num_segments=self.num_rows + 1, indices_are_sorted=True,
+        )  # (rows+1, NL, I)
+        vg = jnp.take(z, self.gen_cols, axis=2)
+        prod = ops.mont_mul(vg, self.gen_vals[:, None, :])
+        acc_gen = jax.ops.segment_sum(
+            jnp.moveaxis(prod, 2, 0), self.gen_rows,
+            num_segments=self.num_rows + 1, indices_are_sorted=True,
+        )
+        total = jnp.moveaxis((acc_int + acc_gen)[: self.num_rows], 0, 2)
         return _reduce_lazy(ops, total)
 
 

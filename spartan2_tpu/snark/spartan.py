@@ -21,7 +21,12 @@ from typing import Optional
 import numpy as np
 import jax.numpy as jnp
 
-from ..errors import SpartanError
+from ..errors import (
+    DivisionByZeroError,
+    IncorrectWitnessError,
+    ProofVerifyError,
+    SpartanError,
+)
 from ..field.jnp_ops import NL
 from ..field.limbs import ints_to_limbs_np, limbs_to_ints
 from ..frontend.constraint_system import ConstraintSystem
@@ -32,6 +37,7 @@ from ..polys.univariate import UniPoly
 from ..provider.engines import Engine
 from ..r1cs.shape import R1CSWitness, SplitR1CSInstance, SplitR1CSShape
 from ..sumcheck.prove import (
+    get_cubic_eq_prover,
     get_cubic_prover,
     get_inner_round0,
     get_quad_prover,
@@ -85,6 +91,14 @@ class PrecommittedState:
     r_W_precommitted: Optional[HyraxBlind] = None
     # device cache of the (static) shared+precommitted limb planes
     W_prefix_mont: Optional[object] = None
+    # cached prefix Az/Bz/Cz device products (spartan.rs:176-216 prep)
+    matvec_cache: Optional[tuple] = None
+    # cached rest-witness raw (unblinded) row MSM + limb planes
+    # (reference cached_rest_witness/cached_rest_msm, spartan.rs:109-124):
+    # a re-prove with an unchanged rest witness only adds fresh blinds
+    rest_raw: Optional[object] = None
+    rest_key: Optional[int] = None
+    rest_mont: Optional[object] = None
 
 
 @dataclass
@@ -119,7 +133,7 @@ def shared_witness(engine: Engine, S: SplitR1CSShape, ck, circuit,
     W = [0] * S.num_vars
     shared = circuit.shared(cs)
     if len(cs.aux_assignment) < S.num_shared_unpadded:
-        raise SpartanError("shared variables not allocated correctly")
+        raise IncorrectWitnessError("shared variables not allocated correctly")
     W[: S.num_shared_unpadded] = cs.aux_assignment[: S.num_shared_unpadded]
 
     comm = blind = None
@@ -140,7 +154,8 @@ def precommitted_witness(engine: Engine, ps: PrecommittedState,
     aux = ps.cs.aux_assignment
     lo = S.num_shared_unpadded
     if len(aux) - lo < S.num_precommitted_unpadded:
-        raise SpartanError("precommitted variables not allocated correctly")
+        raise IncorrectWitnessError(
+            "precommitted variables not allocated correctly")
     ps.W[S.num_shared : S.num_shared + S.num_precommitted_unpadded] = aux[
         lo : lo + S.num_precommitted_unpadded
     ]
@@ -184,6 +199,8 @@ def r1cs_instance_and_witness(engine: Engine, ps: PrecommittedState,
             src : src + S.num_rest_unpadded
         ]
 
+    from ..utils.tracing import span as _span
+
     r_W_rest = pcs.blind(ck, S.num_rest, rng=rng)
     lo = S.num_shared + S.num_precommitted
     if ps.W_prefix_mont is None:
@@ -197,8 +214,18 @@ def r1cs_instance_and_witness(engine: Engine, ps: PrecommittedState,
         actual_small = is_small or all(
             v < (1 << 64) for v in ps.W[lo : lo + S.num_rest_unpadded]
         )
-        rest_mont = _upload_mont(engine, rest)
-        comm_W_rest = pcs.commit(ck, rest_mont, r_W_rest, actual_small)
+        # raw-MSM cache: a re-prove with the same rest witness (the
+        # common prep-reuse pattern) skips the full row MSM and only
+        # adds the fresh blinds (spartan.rs cached_rest_msm)
+        rest_key = hash(tuple(rest))
+        if ps.rest_raw is None or ps.rest_key != rest_key:
+            with _span("commit_rest_raw_msm"):
+                ps.rest_mont = _upload_mont(engine, rest)
+                ps.rest_raw = pcs.commit_raw(ck, ps.rest_mont, actual_small)
+                ps.rest_key = rest_key
+        rest_mont = ps.rest_mont
+        with _span("commit_rest_blind"):
+            comm_W_rest = pcs.commit_from_raw(ck, ps.rest_raw, r_W_rest)
     transcript.absorb_bytes(
         b"comm_W_rest", comm_W_rest.to_transcript_bytes(engine.curve)
     )
@@ -249,6 +276,15 @@ class SpartanSNARK:
                    rng=None) -> SpartanPrepSNARK:
         ps = shared_witness(pk.engine, pk.S, pk.ck, circuit, is_small, rng)
         precommitted_witness(pk.engine, ps, pk.S, pk.ck, circuit, is_small, rng)
+        # cache prefix limb planes + prefix Az/Bz/Cz so every prove only
+        # runs the filtered suffix SpMV (reference prep caching,
+        # spartan.rs:176-216 + r1cs/mod.rs:1112-1211)
+        S = pk.S
+        lo = S.num_shared + S.num_precommitted
+        if 0 < lo < S.num_cols and S._device is not None:
+            ps.W_prefix_mont = _upload_mont(pk.engine, ps.W[:lo])
+            ps.matvec_cache = S.multiply_vec_precommitted_device(
+                ps.W_prefix_mont)
         return SpartanPrepSNARK(ps=ps)
 
     @staticmethod
@@ -289,21 +325,23 @@ class SpartanSNARK:
         taus = [transcript.squeeze(b"t") for _ in range(num_rounds_x)]
 
         with span("matrix_vector_multiply"):
-            Az, Bz, Cz = S.multiply_vec_device(z[:, : S.num_cols])
+            lo = S.num_shared + S.num_precommitted
+            if prep.ps.matvec_cache is not None:
+                Az, Bz, Cz = S.multiply_vec_incremental_device(
+                    z[:, lo : S.num_cols], prep.ps.matvec_cache)
+            else:
+                Az, Bz, Cz = S.multiply_vec_device(z[:, : S.num_cols])
 
         # ---- outer sum-check (device rounds, device transcript) ----
-        taus_dev = _upload_mont(engine, taus)
-        eq_tau = eq_evals_device(ops, taus_dev)
         td = DeviceTranscript(ops, state=jnp.asarray(
             np.frombuffer(transcript.state, np.uint8)), round=transcript.round)
         zero = ops.const(0)
-        prover_cubic = get_cubic_prover(ops)
         with span("outer_sumcheck", rounds=num_rounds_x):
-            coeffs_sharded, r_sharded = [], []
-            claim = zero
-            if mesh is not None and eq_tau.shape[1] > mesh.devices.size:
+            if mesh is not None and (1 << num_rounds_x) > mesh.devices.size:
                 from ..parallel.sumcheck_shard import ShardedSumcheckCubic
 
+                taus_dev = _upload_mont(engine, taus)
+                eq_tau = eq_evals_device(ops, taus_dev)
                 sharded = ShardedSumcheckCubic(ops, mesh)
                 (eq_tau, Az, Bz, Cz), coeffs_sharded, r_sharded, claim = (
                     sharded.prove(td, eq_tau, Az, Bz, Cz, zero))
@@ -314,11 +352,18 @@ class SpartanSNARK:
                 eq_tau, Az, Bz, Cz, claim = (
                     jax.device_put(x, dev0) for x in (eq_tau, Az, Bz, Cz, claim))
                 td.state = jax.device_put(td.state, dev0)
-            coeffs_outer, r_x_dev, finals_outer, _ = prover_cubic.prove(
-                td, eq_tau, Az, Bz, Cz, claim
-            )
-            coeffs_outer = coeffs_sharded + coeffs_outer
-            r_x_dev = r_sharded + r_x_dev
+                prover_cubic = get_cubic_prover(ops)
+                coeffs_outer, r_x_dev, finals_outer, _ = prover_cubic.prove(
+                    td, eq_tau, Az, Bz, Cz, claim
+                )
+                coeffs_outer = coeffs_sharded + coeffs_outer
+                r_x_dev = r_sharded + r_x_dev
+            else:
+                # Gruen/BDDT eq-split: no 2^m eq table, 2 sums per round
+                coeffs_outer, r_x_dev, finals_outer, _ = (
+                    get_cubic_eq_prover(ops).prove(
+                        td, Az, Bz, Cz, zero, taus, engine.scalar,
+                        zero_check=True))
         # ONE host sync for the transcript state + all three final claims
         import jax
 
@@ -384,7 +429,7 @@ class SpartanSNARK:
         )
         denom = (1 - r_y[0]) % p
         if denom == 0:
-            raise SpartanError("division by zero in eval_W")
+            raise DivisionByZeroError("division by zero in eval_W")
         eval_W = (eval_Z - r_y[0] * eval_X) * pow(denom, -1, p) % p
 
         # ---- PCS evaluation proof ----
@@ -434,7 +479,7 @@ class SpartanSNARK:
         taus_bound_rx = eq_evaluate(engine.scalar, taus, r_x)
         expected = taus_bound_rx * (claim_Az * claim_Bz - claim_Cz) % p
         if claim_outer_final % p != expected:
-            raise SpartanError("invalid outer sum-check claim")
+            raise ProofVerifyError("invalid outer sum-check claim")
 
         transcript.absorb_scalars(b"claims_outer",
                                   [claim_Az, claim_Bz, claim_Cz])
@@ -450,12 +495,10 @@ class SpartanSNARK:
         )
         eval_Z = ((1 - r_y[0]) * proof.eval_W + r_y[0] * eval_X) % p
 
-        T_x = eq_evals_host(engine.scalar, r_x)
-        T_y = eq_evals_host(engine.scalar, r_y)
-        eval_A, eval_B, eval_C = S.evaluate_with_tables_fast(T_x, T_y)
+        eval_A, eval_B, eval_C = S.evaluate_at(r_x, r_y)
         expected_inner = (eval_A + r * eval_B + r * r * eval_C) * eval_Z % p
         if claim_inner_final % p != expected_inner:
-            raise SpartanError("invalid inner sum-check claim")
+            raise ProofVerifyError("invalid inner sum-check claim")
 
         comm_eval_W = engine.pcs.commit_host(vk.ck_s, [proof.eval_W],
                                              proof.blind_eval_W)

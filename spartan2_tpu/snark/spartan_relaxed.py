@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from ..errors import SpartanError
+from ..errors import ProofVerifyError, SpartanError
 from ..polys.eq import eq_evals_host, eq_evaluate
 from ..r1cs.relaxed import R1CSShape, RelaxedR1CSInstance, RelaxedR1CSWitness
 from ..sumcheck.host import prove_cubic_with_three_inputs, prove_quad
@@ -134,7 +134,7 @@ class RelaxedR1CSSpartanProof:
             claim_Az * claim_Bz - claim_uCzE
         ) % p
         if claim_outer_final % p != expected:
-            raise SpartanError("relaxed: invalid outer sum-check")
+            raise ProofVerifyError("relaxed: invalid outer sum-check")
 
         transcript.absorb_scalars(b"claims_outer",
                                   [claim_Az, claim_Bz, claim_uCzE])
@@ -161,7 +161,7 @@ class RelaxedR1CSSpartanProof:
         eval_C = _evaluate_matrix(field, S.C, T_x, T_y)
         eval_ABC = (eval_A + r * eval_B + r_sq * U.u * eval_C) % p
         if claim_inner_final % p != eval_ABC * eval_Z % p:
-            raise SpartanError("relaxed: invalid inner sum-check")
+            raise ProofVerifyError("relaxed: invalid inner sum-check")
 
         transcript.absorb_scalars(b"v_W", self.v_W)
         transcript.absorb_scalars(b"v_E", self.v_E)

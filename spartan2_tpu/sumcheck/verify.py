@@ -3,7 +3,7 @@ src/sumcheck.rs:67-114)."""
 
 from __future__ import annotations
 
-from ..errors import SpartanError
+from ..errors import InvalidSumcheckProofError, SpartanError
 from ..field.constants import FieldSpec
 from ..polys.univariate import CompressedUniPoly
 from ..transcript.transcript import Transcript
@@ -29,13 +29,14 @@ class SumcheckProof:
         transcript: Transcript,
     ) -> tuple[int, list[int]]:
         if len(self.compressed_polys) != num_rounds:
-            raise SpartanError("invalid sumcheck proof: wrong number of rounds")
+            raise InvalidSumcheckProofError(
+            "invalid sumcheck proof: wrong number of rounds")
         e = claim % self.field.modulus
         rs: list[int] = []
         for comp in self.compressed_polys:
             poly = comp.decompress(e)
             if poly.degree() != degree_bound:
-                raise SpartanError("invalid sumcheck proof: bad degree")
+                raise InvalidSumcheckProofError("invalid sumcheck proof: bad degree")
             transcript.absorb_bytes(b"p", poly.to_transcript_bytes())
             r_i = transcript.squeeze(b"c")
             rs.append(r_i)

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import struct
 
-from ..errors import SpartanError
+from ..errors import DigestError, SpartanError
 from ..field.constants import FieldSpec
 from ..pcs.hyrax import HyraxBlind, HyraxCommitment, HyraxEvaluationArgument, IpaProof
 from ..polys.univariate import CompressedUniPoly
@@ -296,3 +296,208 @@ def neutronnova_proof_from_bytes(data: bytes, engine):
                             random_U=random_U, nifs=nifs,
                             relaxed_snark=relaxed,
                             eval_arg=HyraxEvaluationArgument(ipa))
+
+
+# ---------------------------------------------------------------------------
+# keys / prep (checkpoint & resume; reference spartan.rs:42-124 derives
+# Serialize on ProverKey/VerifierKey/PrepSNARK)
+# ---------------------------------------------------------------------------
+
+
+def _write_sparse_matrix(w: Writer, M):
+    w.u64(M.cols)
+    w.u64(len(M.indptr))
+    for v in M.indptr:
+        w.u64(v)
+    w.u64(len(M.data))
+    for v in M.data:
+        w.scalar(v)
+    for c in M.indices:
+        w.u64(c)
+
+
+def _read_sparse_matrix(r: Reader):
+    from ..r1cs.sparse import SparseMatrix
+
+    cols = r.u64()
+    indptr = [r.u64() for _ in range(r.u64())]
+    nnz = r.u64()
+    data = [r.scalar() for _ in range(nnz)]
+    indices = [r.u64() for _ in range(nnz)]
+    return SparseMatrix(r.field, data, indices, indptr, cols)
+
+
+_SHAPE_NUMS = (
+    "num_cons", "num_cons_unpadded", "num_shared", "num_shared_unpadded",
+    "num_precommitted", "num_precommitted_unpadded", "num_rest",
+    "num_rest_unpadded", "num_public", "num_challenges", "width",
+)
+
+
+def _write_shape(w: Writer, S):
+    for name in _SHAPE_NUMS:
+        w.u64(getattr(S, name))
+    _write_sparse_matrix(w, S.A)
+    _write_sparse_matrix(w, S.B)
+    _write_sparse_matrix(w, S.C)
+
+
+def _read_shape(r: Reader):
+    """Rebuild a SplitR1CSShape in its already-padded form (the
+    constructor re-pads raw inputs, so bypass it)."""
+    from ..r1cs.shape import SplitR1CSShape
+
+    S = SplitR1CSShape.__new__(SplitR1CSShape)
+    S.field = r.field
+    for name in _SHAPE_NUMS:
+        setattr(S, name, r.u64())
+    S.A = _read_sparse_matrix(r)
+    S.B = _read_sparse_matrix(r)
+    S.C = _read_sparse_matrix(r)
+    S._device = None
+    S._ops = None
+    return S
+
+
+def spartan_keys_to_bytes(pk) -> bytes:
+    """Serialize the prover key; the verifier key shares every field
+    (generators re-derive deterministically from their labels)."""
+    engine = pk.engine
+    w = Writer(engine.scalar, engine.curve)
+    _write_shape(w, pk.S)
+    w.buf += pk.vk_digest
+    return w.bytes_out()
+
+
+def spartan_keys_from_bytes(data: bytes, engine):
+    """-> (SpartanProverKey, SpartanVerifierKey), device state attached."""
+    from ..snark.spartan import SpartanProverKey, SpartanVerifierKey
+
+    r = Reader(engine.scalar, engine.curve, data)
+    S = _read_shape(r)
+    digest = r.take(32)
+    r.done()
+    S.attach_device(engine.fs)
+    ck, vk_ee = engine.pcs.setup(b"ck", S.num_vars, S.width)
+    ck_s, _ = engine.pcs.setup(b"ck_s", 1, 1)
+    pk = SpartanProverKey(engine, S, ck, ck_s, digest)
+    vk = SpartanVerifierKey(engine, S, vk_ee, ck_s, digest)
+    return pk, vk
+
+
+def _opt_blind(w: Writer, b):
+    w.buf += b"\x01" if b is not None else b"\x00"
+    if b is not None:
+        w.blind(b)
+
+
+def _read_opt_blind(r: Reader):
+    return r.blind() if r.take(1) == b"\x01" else None
+
+
+def spartan_prep_to_bytes(prep, engine) -> bytes:
+    """Serialize a SpartanPrepSNARK: witness prefix values, partial
+    commitments and blinds, and the constraint-system assignments.
+    Device-side caches (limb planes, prefix mat-vec products) are
+    deterministic and rebuilt on load."""
+    ps = prep.ps
+    w = Writer(engine.scalar, engine.curve)
+    w.scalars(ps.W)
+    w.opt_commitment(ps.comm_W_shared)
+    _opt_blind(w, ps.r_W_shared)
+    w.opt_commitment(ps.comm_W_precommitted)
+    _opt_blind(w, ps.r_W_precommitted)
+    w.u64(ps.cs.num_aux)
+    w.scalars(ps.cs.aux_assignment)
+    w.scalars(ps.cs.input_assignment)
+    return w.bytes_out()
+
+
+def spartan_prep_from_bytes(data: bytes, engine, pk, circuit):
+    """Reload a SpartanPrepSNARK.  ``circuit`` re-synthesizes the
+    shared/precommitted variable handles (deterministic, cheap host
+    work); the expensive commitments come from the serialized state."""
+    from ..frontend.constraint_system import ConstraintSystem
+    from ..snark.spartan import PrecommittedState, SpartanPrepSNARK
+
+    r = Reader(engine.scalar, engine.curve, data)
+    W = r.scalars()
+    comm_s = r.opt_commitment()
+    blind_s = _read_opt_blind(r)
+    comm_p = r.opt_commitment()
+    blind_p = _read_opt_blind(r)
+    num_aux = r.u64()
+    aux = r.scalars()
+    inputs = r.scalars()
+    r.done()
+
+    cs = ConstraintSystem(engine.scalar, shape_mode=False)
+    shared = circuit.shared(cs)
+    precommitted = circuit.precommitted(cs, shared)
+    cs.num_aux = num_aux
+    cs.aux_assignment = aux
+    cs.input_assignment = inputs
+
+    ps = PrecommittedState(
+        cs=cs, shared=shared, precommitted=precommitted, W=W,
+        comm_W_shared=comm_s, r_W_shared=blind_s,
+        comm_W_precommitted=comm_p, r_W_precommitted=blind_p,
+    )
+    # rebuild the deterministic device caches (mirrors prep_prove)
+    from ..snark.spartan import _upload_mont
+
+    S = pk.S
+    lo = S.num_shared + S.num_precommitted
+    if 0 < lo < S.num_cols and S._device is not None:
+        ps.W_prefix_mont = _upload_mont(engine, ps.W[:lo])
+        ps.matvec_cache = S.multiply_vec_precommitted_device(ps.W_prefix_mont)
+    return SpartanPrepSNARK(ps=ps)
+
+
+def spartan_zk_keys_to_bytes(pk) -> bytes:
+    """SpartanZk keys: the R1CS shape determines every derived component
+    (VC circuit dims, generator sets); store shape + digest."""
+    w = Writer(pk.engine.scalar, pk.engine.curve)
+    _write_shape(w, pk.S)
+    w.buf += pk.vk_digest
+    return w.bytes_out()
+
+
+def spartan_zk_keys_from_bytes(data: bytes, engine):
+    from ..snark.spartan_zk import SpartanZkSNARK
+
+    r = Reader(engine.scalar, engine.curve, data)
+    S = _read_shape(r)
+    digest = r.take(32)
+    r.done()
+    pk, vk = SpartanZkSNARK.setup_from_shape(engine, S)
+    if pk.vk_digest != digest:
+        raise DigestError("reloaded SpartanZk key digest mismatch")
+    return pk, vk
+
+
+def neutronnova_keys_to_bytes(pk, num_steps: int) -> bytes:
+    """NeutronNova keys: both equalized shapes + the batch size
+    (the VC dimensions depend on num_steps)."""
+    w = Writer(pk.engine.scalar, pk.engine.curve)
+    w.u64(num_steps)
+    _write_shape(w, pk.S_step)
+    _write_shape(w, pk.S_core)
+    w.buf += pk.vk_digest
+    return w.bytes_out()
+
+
+def neutronnova_keys_from_bytes(data: bytes, engine):
+    from ..snark.neutronnova import NeutronNovaZkSNARK
+
+    r = Reader(engine.scalar, engine.curve, data)
+    num_steps = r.u64()
+    S_step = _read_shape(r)
+    S_core = _read_shape(r)
+    digest = r.take(32)
+    r.done()
+    pk, vk = NeutronNovaZkSNARK.setup_from_shapes(engine, S_step, S_core,
+                                                  num_steps)
+    if pk.vk_digest != digest:
+        raise DigestError("reloaded NeutronNova key digest mismatch")
+    return pk, vk

