@@ -8,18 +8,37 @@ running through the NeutronNovaVerifierCircuit, Nova fold against a
 random relaxed instance, relaxed-Spartan proof, and a single PCS opening
 of the c_eval-folded witness.
 
-v1: folding arithmetic is host-side (clean field math; the reference's
-i64/merged-fold optimizations and the instance-axis device sharding are
-follow-ups — SURVEY.md section 5 maps the batch axis onto the mesh).
+The NIFS hot phase and both batched sum-checks run on device
+(sumcheck/zk_device.py): the (instance, constraint) grid lives on the
+TPU as (NL, I, num_cons) limb planes, each round is one fused kernel,
+and only the finish_round/VC algebra stays host-side.  The original
+host path is kept under SPARTAN2_NN_HOST=1 for cross-testing.
 """
 
 from __future__ import annotations
 
 import hashlib
+import os
 from dataclasses import dataclass
 
-from ..errors import SpartanError
-from ..polys.eq import eq_evaluate, eq_evals_host, pow_evaluate, pow_split_evals_host
+import jax.numpy as jnp
+
+from ..errors import (
+    DivisionByZeroError,
+    InvalidInputLengthError,
+    ProofVerifyError,
+    SpartanError,
+)
+from ..field.jnp_ops import NL
+from ..field.limbs import ints_to_limbs_np
+from ..sumcheck.zk_device import get_zk_cubic, get_zk_quad
+from ..polys.eq import (
+    eq_evals_device,
+    eq_evals_host,
+    eq_evaluate,
+    pow_evaluate,
+    pow_split_evals_host,
+)
 from ..polys.multilinear import sparse_poly_evaluate_host
 from ..polys.univariate import UniPoly
 from ..provider.engines import Engine
@@ -240,6 +259,110 @@ class NeutronNovaNIFS:
         return (E_eq, A_layers[0], B_layers[0], C_layers[0], folded_W,
                 folded_U, t_out, r_bs)
 
+    @staticmethod
+    def prove_device(engine: Engine, S: SplitR1CSShape, Us: list[R1CSInstance],
+                     Ws: list[R1CSWitnessHost], Ws_dev: list,
+                     vc: NeutronNovaVerifierCircuit,
+                     vc_state: MultiRoundState, vc_ck, transcript, rng=None):
+        """Device NIFS: the (instance, constraint) grid lives on the TPU
+        as (NL, I, num_cons) limb planes; per round one fused kernel
+        computes the weighted (e0, quad) sums and folds the instance
+        axis, the host runs only the finish_round algebra + VC round
+        (neutronnova_zk.rs:511-1168 restructured for the mesh axis).
+
+        ``Ws_dev``: per-instance (NL, num_vars) Montgomery device planes
+        (the witness planes already uploaded by instance synthesis).
+        Returns (E_dev, Az, Bz, Cz device planes, W_fold_dev device
+        plane, r_W_folded, folded_U, t_out, r_bs).
+        """
+        import jax.numpy as jnp
+
+        from ..field.limbs import ints_to_limbs_np
+        from ..sumcheck.zk_device import get_nifs_rounds
+
+        field = engine.scalar
+        p = field.modulus
+        pcs = engine.pcs
+        ops = engine.fs
+
+        n = len(Us)
+        n_padded = 1 << max(n - 1, 0).bit_length()
+        ell_b = _log2(n_padded)
+        Us = list(Us) + [Us[0]] * (n_padded - n)
+        Ws = list(Ws) + [Ws[0]] * (n_padded - n)
+        Ws_dev = list(Ws_dev) + [Ws_dev[0]] * (n_padded - n)
+        for U in Us:
+            transcript.absorb_bytes(b"U", U.to_transcript_bytes(engine.curve, field))
+        transcript.absorb_scalar(b"T", 0)
+
+        ell_cons = _log2(S.num_cons)
+        ell1 = -(-ell_cons // 2)
+        left, right = 1 << ell1, 1 << (ell_cons // 2)
+        tau = transcript.squeeze(b"tau")
+        e_left, e_right = pow_split_evals_host(field, tau, ell_cons, left, right)
+        E_eq = [e_left[k % left] * e_right[k // left] % p
+                for k in range(left * right)]
+        rhos = [transcript.squeeze(b"rho") for _ in range(ell_b)]
+
+        # (NL, I, num_cols) z planes: device witness + uploaded tails
+        z_stack = jnp.stack([
+            jnp.concatenate([
+                Wd, jnp.asarray(ints_to_limbs_np([1] + U.X, field, mont=True))
+            ], axis=1)
+            for U, Wd in zip(Us, Ws_dev)
+        ], axis=1)
+        Az, Bz, Cz = S.multiply_vec_batched_device(z_stack)
+        E_dev = jnp.asarray(ints_to_limbs_np(E_eq, field, mont=True))
+
+        state = {"T_cur": 0, "acc_eq": 1}
+
+        def round_cb(t: int, e0: int, quad: int) -> int:
+            rho_t = rhos[t]
+            one_minus_rho = (1 - rho_t) % p
+            two_rho_minus_one = (rho_t - one_minus_rho) % p
+            c = e0 * state["acc_eq"] % p
+            a = quad * state["acc_eq"] % p
+            if rho_t % p == 0:
+                raise SpartanError("zero rho challenge")
+            a_b_c = ((state["T_cur"] - c * one_minus_rho)
+                     * pow(rho_t, -1, p) % p)
+            b = (a_b_c - a - c) % p
+            coeffs = [
+                c * one_minus_rho % p,
+                (c * two_rho_minus_one + b * one_minus_rho) % p,
+                (b * two_rho_minus_one + a * one_minus_rho) % p,
+                a * two_rho_minus_one % p,
+            ]
+            vc.nifs_polys[t] = list(coeffs)
+            r_b = vc_state.process_round(pcs, vc_ck, vc, t, transcript, rng)[0]
+            state["acc_eq"] = (state["acc_eq"]
+                               * ((1 - r_b) * one_minus_rho + r_b * rho_t) % p)
+            state["T_cur"] = UniPoly(field, coeffs).evaluate(r_b)
+            return r_b
+
+        nifs_dev = get_nifs_rounds(ops)
+        r_bs, (AzF, BzF, CzF) = nifs_dev.run(field, Az, Bz, Cz, E_dev, rhos,
+                                             round_cb)
+
+        t_out = state["T_cur"] * pow(state["acc_eq"], -1, p) % p
+        vc.t_out_step = t_out
+        vc.eq_rho_at_rb = state["acc_eq"]  # == eq(rhos, r_bs)
+        vc_state.process_round(pcs, vc_ck, vc, ell_b, transcript, rng)
+
+        # fold witnesses (device) and instances (host scalars + comm MSM)
+        weights = weights_from_r(field, r_bs, n_padded)
+        W_fold_dev = nifs_dev.fold_witnesses(
+            field, jnp.stack(Ws_dev, axis=1), weights)
+        r_W_folded = pcs.fold_blinds([Wz.r_W for Wz in Ws], weights)
+        comm_folded = pcs.fold_commitments([U.comm_W for U in Us], weights)
+        X_folded = [
+            sum(w_i * U.X[j] for w_i, U in zip(weights, Us)) % p
+            for j in range(len(Us[0].X))
+        ]
+        folded_U = R1CSInstance(comm_W=comm_folded, X=X_folded)
+        return (E_dev, AzF, BzF, CzF, W_fold_dev, r_W_folded, folded_U,
+                t_out, r_bs)
+
 
 # ---------------------------------------------------------------------------
 # batched host sum-checks (step & core in lockstep through VC rounds)
@@ -337,6 +460,15 @@ class NeutronNovaZkSNARK:
         S_step = SplitR1CSShape.from_circuit(step_circuit, engine.scalar, width)
         S_core = SplitR1CSShape.from_circuit(core_circuit, engine.scalar, width)
         SplitR1CSShape.equalize(S_step, S_core)
+        return NeutronNovaZkSNARK.setup_from_shapes(engine, S_step, S_core,
+                                                    num_steps)
+
+    @staticmethod
+    def setup_from_shapes(engine: Engine, S_step: SplitR1CSShape,
+                          S_core: SplitR1CSShape, num_steps: int):
+        """Key construction from (possibly deserialized) equalized
+        shapes (neutronnova_zk.rs:1352-1460)."""
+        width = S_step.width
         S_step.attach_device(engine.fs)
         S_core.attach_device(engine.fs)
         ck, vk_ee = engine.pcs.setup(
@@ -411,7 +543,7 @@ class NeutronNovaZkSNARK:
                 ps_i.r_W_precommitted = new_blind
 
         # per-instance transcripts (neutronnova_zk.rs:1662-1722)
-        step_instances, step_witnesses = [], []
+        step_instances, step_witnesses, step_W_dev = [], [], []
         for i, (ps_i, circ) in enumerate(zip(prep.ps_step, step_circuits)):
             tr = engine.transcript(b"neutronnova_prove")
             tr.absorb_bytes(b"vk", pk.vk_digest)
@@ -422,6 +554,7 @@ class NeutronNovaZkSNARK:
                 engine, ps_i, pk.S_step, pk.ck, circ, is_small, tr, rng)
             step_instances.append(U_i)
             step_witnesses.append(R1CSWitnessHost(W=W_i.W_host, r_W=W_i.r_W))
+            step_W_dev.append(W_i.W)
 
         tr = engine.transcript(b"neutronnova_prove")
         tr.absorb_bytes(b"vk", pk.vk_digest)
@@ -452,29 +585,66 @@ class NeutronNovaZkSNARK:
             pk.vc_shape.commitment_width)
         vc_state = MultiRoundState.initialize(pk.vc_shape)
 
-        (E_eq, Az_s, Bz_s, Cz_s, folded_W, folded_U, t_out, r_bs) = (
-            NeutronNovaNIFS.prove(engine, pk.S_step, step_regular,
-                                  step_witnesses, vc, vc_state, pk.vc_ck,
-                                  transcript, rng))
-
-        # core layers
-        z_core = (core_witness.W + [1] + core_instance.public_values
-                  + core_instance.challenges)
-        Az_c = pk.S_core.A.multiply_vec_host(z_core)
-        Bz_c = pk.S_core.B.multiply_vec_host(z_core)
-        Cz_c = pk.S_core.C.multiply_vec_host(z_core)
+        use_host = (os.environ.get("SPARTAN2_NN_HOST") == "1"
+                    or pk.S_step._device is None)
 
         outer_start = num_rounds_b + 1
+        inner_start = outer_start + num_rounds_x + 1
 
-        def outer_challenge(i, poly_s, poly_c):
-            vc.outer_polys_step[i] = list(poly_s.coeffs)
-            vc.outer_polys_core[i] = list(poly_c.coeffs)
-            return vc_state.process_round(pcs, pk.vc_ck, vc, outer_start + i,
-                                          transcript, rng)[0]
+        if use_host:
+            (E_eq, Az_s, Bz_s, Cz_s, folded_W, folded_U, t_out, r_bs) = (
+                NeutronNovaNIFS.prove(engine, pk.S_step, step_regular,
+                                      step_witnesses, vc, vc_state, pk.vc_ck,
+                                      transcript, rng))
 
-        r_x, claims_s, claims_c, tau_rx = prove_cubic_batched_zk(
-            field, (t_out, 0), E_eq, (Az_s, Bz_s, Cz_s), (Az_c, Bz_c, Cz_c),
-            outer_challenge)
+            # core layers
+            z_core = (core_witness.W + [1] + core_instance.public_values
+                      + core_instance.challenges)
+            Az_c = pk.S_core.A.multiply_vec_host(z_core)
+            Bz_c = pk.S_core.B.multiply_vec_host(z_core)
+            Cz_c = pk.S_core.C.multiply_vec_host(z_core)
+
+            def outer_challenge(i, poly_s, poly_c):
+                vc.outer_polys_step[i] = list(poly_s.coeffs)
+                vc.outer_polys_core[i] = list(poly_c.coeffs)
+                return vc_state.process_round(pcs, pk.vc_ck, vc,
+                                              outer_start + i, transcript,
+                                              rng)[0]
+
+            r_x, claims_s, claims_c, tau_rx = prove_cubic_batched_zk(
+                field, (t_out, 0), E_eq, (Az_s, Bz_s, Cz_s),
+                (Az_c, Bz_c, Cz_c), outer_challenge)
+        else:
+            # ---- device NIFS + batched outer sum-check ----
+            ops = engine.fs
+            (E_dev, AzF, BzF, CzF, W_fold_dev, r_W_folded, folded_U, t_out,
+             r_bs) = NeutronNovaNIFS.prove_device(
+                engine, pk.S_step, step_regular, step_witnesses, step_W_dev,
+                vc, vc_state, pk.vc_ck, transcript, rng)
+            folded_W = R1CSWitnessHost(W=None, r_W=r_W_folded)
+
+            z_core_dev = jnp.concatenate([
+                core_W.W,
+                jnp.asarray(ints_to_limbs_np(
+                    [1] + core_instance.public_values
+                    + core_instance.challenges, field, mont=True)),
+            ], axis=1)
+            Az_c, Bz_c, Cz_c = pk.S_core.multiply_vec_device(z_core_dev)
+
+            def outer_challenge_dev(i, unis):
+                vc.outer_polys_step[i] = list(unis[0].coeffs)
+                vc.outer_polys_core[i] = list(unis[1].coeffs)
+                return vc_state.process_round(pcs, pk.vc_ck, vc,
+                                              outer_start + i, transcript,
+                                              rng)[0]
+
+            stack3 = tuple(
+                jnp.stack([s, c], axis=1)
+                for s, c in ((AzF, Az_c), (BzF, Bz_c), (CzF, Cz_c)))
+            r_x, finals_outer, tau_rx = get_zk_cubic(ops).prove(
+                field, [t_out, 0], E_dev, stack3, outer_challenge_dev)
+            claims_s, claims_c = finals_outer
+
         vc.claim_Az_step, vc.claim_Bz_step, vc.claim_Cz_step = claims_s
         vc.claim_Az_core, vc.claim_Bz_core, vc.claim_Cz_core = claims_c
         vc.tau_at_rx = tau_rx
@@ -487,37 +657,69 @@ class NeutronNovaZkSNARK:
         claim_inner_s = (claims_s[0] + r * claims_s[1] + r_sq * claims_s[2]) % p
         claim_inner_c = (claims_c[0] + r * claims_c[1] + r_sq * claims_c[2]) % p
 
-        evals_rx = eq_evals_host(field, r_x)
-
-        def poly_abc(S):
-            eA = _bind_matrix_row_vars(field, S.A, evals_rx, S.num_cols)
-            eB = _bind_matrix_row_vars(field, S.B, evals_rx, S.num_cols)
-            eC = _bind_matrix_row_vars(field, S.C, evals_rx, S.num_cols)
-            v = [(a + r * b + r_sq * c) % p for a, b, c in zip(eA, eB, eC)]
-            return v + [0] * (2 * num_vars - len(v))
-
-        ABC_s = poly_abc(pk.S_step)
-        ABC_c = poly_abc(pk.S_core)
-
-        def zvec(W, X):
-            v = W + [1] + X
-            return v + [0] * (2 * num_vars - len(v))
-
-        z_folded = zvec(folded_W.W, folded_U.X)
-        z_core_v = zvec(core_witness.W, core_regular.X)
-
-        inner_start = outer_start + num_rounds_x + 1
-
         def inner_challenge(j, poly_s, poly_c):
             vc.inner_polys_step[j] = list(poly_s.coeffs)
             vc.inner_polys_core[j] = list(poly_c.coeffs)
             return vc_state.process_round(pcs, pk.vc_ck, vc, inner_start + j,
                                           transcript, rng)[0]
 
-        r_y, finals = prove_quad_batched_zk(
-            field, (claim_inner_s, claim_inner_c), num_rounds_y,
-            (ABC_s, z_folded), (ABC_c, z_core_v), inner_challenge)
-        eval_Z_step, eval_Z_core = finals[2], finals[3]
+        if use_host:
+            evals_rx = eq_evals_host(field, r_x)
+
+            def poly_abc(S):
+                eA = _bind_matrix_row_vars(field, S.A, evals_rx, S.num_cols)
+                eB = _bind_matrix_row_vars(field, S.B, evals_rx, S.num_cols)
+                eC = _bind_matrix_row_vars(field, S.C, evals_rx, S.num_cols)
+                v = [(a + r * b + r_sq * c) % p for a, b, c in zip(eA, eB, eC)]
+                return v + [0] * (2 * num_vars - len(v))
+
+            ABC_s = poly_abc(pk.S_step)
+            ABC_c = poly_abc(pk.S_core)
+
+            def zvec(W, X):
+                v = W + [1] + X
+                return v + [0] * (2 * num_vars - len(v))
+
+            z_folded = zvec(folded_W.W, folded_U.X)
+            z_core_v = zvec(core_witness.W, core_regular.X)
+
+            r_y, finals = prove_quad_batched_zk(
+                field, (claim_inner_s, claim_inner_c), num_rounds_y,
+                (ABC_s, z_folded), (ABC_c, z_core_v), inner_challenge)
+            eval_Z_step, eval_Z_core = finals[2], finals[3]
+        else:
+            eq_rx = eq_evals_device(
+                ops, jnp.asarray(ints_to_limbs_np(r_x, field, mont=True)))
+            r_mont = jnp.asarray(
+                ints_to_limbs_np([r], field, mont=True))[:, 0]
+            ABC_s = pk.S_step.bind_and_prepare_poly_ABC_device(eq_rx, r_mont)
+            ABC_c = pk.S_core.bind_and_prepare_poly_ABC_device(eq_rx, r_mont)
+
+            def zdev(W_plane, X):
+                tail = jnp.asarray(
+                    ints_to_limbs_np([1] + X, field, mont=True))
+                pad = jnp.zeros(
+                    (NL, 2 * num_vars - W_plane.shape[1] - tail.shape[1]),
+                    jnp.int32)
+                return jnp.concatenate([W_plane, tail, pad], axis=1)
+
+            z_folded_dev = zdev(W_fold_dev, folded_U.X)
+            z_core_v_dev = zdev(core_W.W, core_regular.X)
+
+            def inner_challenge_dev(j, unis):
+                vc.inner_polys_step[j] = list(unis[0].coeffs)
+                vc.inner_polys_core[j] = list(unis[1].coeffs)
+                return vc_state.process_round(pcs, pk.vc_ck, vc,
+                                              inner_start + j, transcript,
+                                              rng)[0]
+
+            r_y, finals_inner = get_zk_quad(ops).prove(
+                field, [claim_inner_s, claim_inner_c],
+                (jnp.stack([ABC_s, ABC_c], axis=1),
+                 jnp.stack([z_folded_dev, z_core_v_dev], axis=1)),
+                num_rounds_y, inner_challenge_dev)
+            eval_Z_step = finals_inner[0][1]
+            eval_Z_core = finals_inner[1][1]
 
         def eval_x(X):
             return sparse_poly_evaluate_host(field, _log2(num_vars), [1] + X,
@@ -527,7 +729,7 @@ class NeutronNovaZkSNARK:
         eval_X_core = eval_x(core_regular.X)
         denom = (1 - r_y[0]) % p
         if denom == 0:
-            raise SpartanError("division by zero in eval_W")
+            raise DivisionByZeroError("division by zero in eval_W")
         inv = pow(denom, -1, p)
         vc.eval_W_step = (eval_Z_step - r_y[0] * eval_X_step) * inv % p
         vc.eval_W_core = (eval_Z_core - r_y[0] * eval_X_core) * inv % p
@@ -564,18 +766,21 @@ class NeutronNovaZkSNARK:
         comm = pcs.fold_commitments([folded_U.comm_W, core_regular.comm_W],
                                     [1, c_eval])
         blind = pcs.fold_blinds([folded_W.r_W, core_witness.r_W], [1, c_eval])
-        W_comb = [(w1 + c_eval * w2) % p
-                  for w1, w2 in zip(folded_W.W, core_witness.W)]
         comm_eval = pcs.fold_commitments([comm_eval_W_step, comm_eval_W_core],
                                          [1, c_eval])
         blind_eval = pcs.fold_blinds([blind_eval_W_step, blind_eval_W_core],
                                      [1, c_eval])
 
-        import jax.numpy as jnp
-
-        from ..field.limbs import ints_to_limbs_np
-
-        W_mont = jnp.asarray(ints_to_limbs_np(W_comb, field, mont=True))
+        if use_host:
+            W_comb = [(w1 + c_eval * w2) % p
+                      for w1, w2 in zip(folded_W.W, core_witness.W)]
+            W_mont = jnp.asarray(ints_to_limbs_np(W_comb, field, mont=True))
+        else:
+            c_dev = jnp.asarray(
+                ints_to_limbs_np([c_eval], field, mont=True))[:, 0]
+            cb = jnp.broadcast_to(c_dev[:, None], W_fold_dev.shape)
+            W_mont = engine.fs.add(W_fold_dev,
+                                   engine.fs.mont_mul(cb, core_W.W))
         eval_arg = pcs.prove(pk.ck, pk.vc_ck, transcript, comm, W_mont, blind,
                              r_y[1:], comm_eval, blind_eval, rng=rng)
 
@@ -610,7 +815,7 @@ class NeutronNovaZkSNARK:
         pcs = engine.pcs
 
         if num_instances == 0 or num_instances != len(proof.step_instances):
-            raise SpartanError("wrong number of instances")
+            raise InvalidInputLengthError("wrong number of instances")
 
         step_instances = []
         for u in proof.step_instances:
@@ -663,7 +868,7 @@ class NeutronNovaZkSNARK:
 
         num_challenges = num_rounds_b + num_rounds_x + 1 + num_rounds_y
         if len(U_verifier_regular.X) != num_challenges + 6:
-            raise SpartanError("verifier instance has wrong public IO size")
+            raise ProofVerifyError("verifier instance has wrong public IO size")
         challenges = U_verifier_regular.X[:num_challenges]
         public_values = U_verifier_regular.X[num_challenges:num_challenges + 6]
 
@@ -687,10 +892,8 @@ class NeutronNovaZkSNARK:
         proof.relaxed_snark.verify(pcs, vk.vc_shape_regular, vk.vc_vk,
                                    folded_U_verifier, transcript)
 
-        T_x = eq_evals_host(field, r_x)
-        T_y = eq_evals_host(field, r_y)
-        eA_s, eB_s, eC_s = vk.S_step.evaluate_with_tables_fast(T_x, T_y)
-        eA_c, eB_c, eC_c = vk.S_core.evaluate_with_tables_fast(T_x, T_y)
+        eA_s, eB_s, eC_s = vk.S_step.evaluate_at(r_x, r_y)
+        eA_c, eB_c, eC_c = vk.S_core.evaluate_at(r_x, r_y)
 
         def eval_x(X):
             return sparse_poly_evaluate_host(field, _log2(num_vars), [1] + X,

@@ -9,18 +9,24 @@ is then hidden by folding with a random relaxed instance (NIFS) and
 proved with a small relaxed-Spartan proof; a final PCS argument opens
 the ORIGINAL witness against the eval_W commit round.
 
-v1 note: the sum-check arithmetic here is host-side (the per-round
-process_round host commit forces a round trip anyway); the device
-round-eval kernels plug in as a follow-up for large circuits.
+The sum-check evaluation sums run on device (sumcheck/zk_device.py):
+the per-round VC commit forces a host round trip anyway, so each round
+is one fused device step plus a small scalar pull; the original
+host-side path is kept under SPARTAN2_ZK_HOST=1 for cross-testing.
 """
 
 from __future__ import annotations
 
 import hashlib
+import os
 from dataclasses import dataclass
 
-from ..errors import SpartanError
-from ..polys.eq import eq_evals_host, eq_evaluate
+import jax.numpy as jnp
+
+from ..errors import DivisionByZeroError, ProofVerifyError, SpartanError
+from ..field.jnp_ops import NL
+from ..field.limbs import ints_to_limbs_np
+from ..polys.eq import eq_evals_device, eq_evals_host, eq_evaluate
 from ..polys.multilinear import sparse_poly_evaluate_host
 from ..polys.univariate import UniPoly
 from ..provider.engines import Engine
@@ -28,6 +34,11 @@ from ..r1cs.multiround import MultiRoundState, SplitMultiRoundR1CSInstance, Spli
 from ..r1cs.relaxed import NovaNIFS, RelaxedR1CSInstance
 from ..r1cs.shape import SplitR1CSInstance, SplitR1CSShape
 from ..sumcheck.host import prove_cubic_with_three_inputs, prove_quad
+from ..sumcheck.zk_device import (
+    get_zk_cubic,
+    get_zk_inner_round0,
+    get_zk_quad,
+)
 from ..snark.spartan import (
     PrecommittedState,
     SpartanPrepSNARK,
@@ -101,6 +112,14 @@ class SpartanZkSNARK:
     @staticmethod
     def setup(engine: Engine, circuit, width: int = 2048):
         S = SplitR1CSShape.from_circuit(circuit, engine.scalar, width)
+        return SpartanZkSNARK.setup_from_shape(engine, S)
+
+    @staticmethod
+    def setup_from_shape(engine: Engine, S: SplitR1CSShape):
+        """Key construction from a (possibly deserialized) shape — every
+        other key component derives deterministically from it
+        (spartan_zk.rs:163-232)."""
+        width = S.width
         S.attach_device(engine.fs)
         ck, vk_ee = engine.pcs.setup(b"ck", S.num_vars, width)
 
@@ -159,28 +178,55 @@ class SpartanZkSNARK:
         num_rounds_x = _log2(S.num_cons)
         num_rounds_y = _log2(num_vars) + 1
 
-        z = W.W_host + [1] + U.public_values + U.challenges
-        z += [0] * (2 * num_vars - len(z))
-
         taus = [transcript.squeeze(b"t") for _ in range(num_rounds_x)]
-        Az = S.A.multiply_vec_host(z[: S.num_cols])
-        Bz = S.B.multiply_vec_host(z[: S.num_cols])
-        Cz = S.C.multiply_vec_host(z[: S.num_cols])
 
         vc = SpartanVerifierCircuit(field, num_rounds_x, num_rounds_y,
                                     pk.vc_shape.commitment_width)
         state = MultiRoundState.initialize(pk.vc_shape)
 
-        # ---- outer sum-check (FS through VC commitments) ----
-        def outer_challenge(i: int, poly: UniPoly) -> int:
-            vc.outer_polys[i] = list(poly.coeffs)
-            return state.process_round(pcs, pk.vc_ck, vc, i, transcript, rng)[0]
+        use_host = os.environ.get("SPARTAN2_ZK_HOST") == "1" or S._device is None
+        if use_host:
+            z = W.W_host + [1] + U.public_values + U.challenges
+            z += [0] * (2 * num_vars - len(z))
+            Az = S.A.multiply_vec_host(z[: S.num_cols])
+            Bz = S.B.multiply_vec_host(z[: S.num_cols])
+            Cz = S.C.multiply_vec_host(z[: S.num_cols])
 
-        _, r_x, claims_outer = prove_cubic_with_three_inputs(
-            field, 0, taus, Az, Bz, Cz, challenge_fn=outer_challenge
-        )
-        vc.claim_Az, vc.claim_Bz, vc.claim_Cz = claims_outer
-        vc.tau_at_rx = eq_evaluate(field, taus, r_x)
+            # ---- outer sum-check (FS through VC commitments) ----
+            def outer_challenge(i: int, poly: UniPoly) -> int:
+                vc.outer_polys[i] = list(poly.coeffs)
+                return state.process_round(pcs, pk.vc_ck, vc, i, transcript,
+                                           rng)[0]
+
+            _, r_x, claims_outer = prove_cubic_with_three_inputs(
+                field, 0, taus, Az, Bz, Cz, challenge_fn=outer_challenge
+            )
+            vc.claim_Az, vc.claim_Bz, vc.claim_Cz = claims_outer
+            vc.tau_at_rx = eq_evaluate(field, taus, r_x)
+        else:
+            # ---- device outer sum-check (sumcheck.rs:575-644 shape) ----
+            ops = engine.fs
+            cubic = get_zk_cubic(ops)
+            tail_vals = [1] + U.public_values + U.challenges
+            tail = jnp.asarray(ints_to_limbs_np(tail_vals, field, mont=True))
+            pad = jnp.zeros((NL, 2 * num_vars - num_vars - len(tail_vals)),
+                            jnp.int32)
+            z_dev = jnp.concatenate([W.W, tail, pad], axis=1)
+            Az, Bz, Cz = S.multiply_vec_device(z_dev[:, : S.num_cols])
+            E = eq_evals_device(
+                ops, jnp.asarray(ints_to_limbs_np(taus, field, mont=True)))
+
+            def outer_challenge_dev(i: int, unis) -> int:
+                vc.outer_polys[i] = list(unis[0].coeffs)
+                return state.process_round(pcs, pk.vc_ck, vc, i, transcript,
+                                           rng)[0]
+
+            r_x, finals_outer, tau_rx = cubic.prove(
+                field, [0], E, tuple(v[:, None, :] for v in (Az, Bz, Cz)),
+                outer_challenge_dev)
+            claims_outer = finals_outer[0]
+            vc.claim_Az, vc.claim_Bz, vc.claim_Cz = claims_outer
+            vc.tau_at_rx = tau_rx
 
         chals = state.process_round(pcs, pk.vc_ck, vc, num_rounds_x,
                                     transcript, rng)
@@ -188,59 +234,97 @@ class SpartanZkSNARK:
         r_sq = r * r % p
 
         # ---- inner sum-check ----
-        claim_inner = (vc.claim_Az + r * vc.claim_Bz + r_sq * vc.claim_Cz) % p
-        evals_rx = eq_evals_host(field, r_x)
-        num_cols = S.num_cols
-        eA = _bind_matrix_row_vars(field, S.A, evals_rx, num_cols)
-        eB = _bind_matrix_row_vars(field, S.B, evals_rx, num_cols)
-        eC = _bind_matrix_row_vars(field, S.C, evals_rx, num_cols)
-        poly_ABC = [(a + r * b + r_sq * c) % p for a, b, c in zip(eA, eB, eC)]
-        poly_ABC += [0] * (2 * num_vars - len(poly_ABC))
-
+        claim_inner = (claims_outer[0] + r * claims_outer[1]
+                       + r_sq * claims_outer[2]) % p
         num_extra = 1 + S.num_public + S.num_challenges
-        eval0 = sum(poly_ABC[j] * z[j] for j in range(num_vars)) % p
-        corr_low = sum(poly_ABC[j] * z[j] for j in range(num_extra)) % p
-        corr_cross = sum(
-            (poly_ABC[num_vars + j] - poly_ABC[j]) * (z[num_vars + j] - z[j])
-            for j in range(num_extra)
-        ) % p
-        t_inf = (eval0 - corr_low + corr_cross) % p
-        e2 = (2 * claim_inner - 3 * eval0 + 2 * t_inf) % p
-        inner_r0 = UniPoly.from_evals_deg2(
-            field, [eval0, (claim_inner - eval0) % p, e2])
-        vc.inner_polys[0] = list(inner_r0.coeffs)
-        r0 = state.process_round(pcs, pk.vc_ck, vc, num_rounds_x + 1,
-                                 transcript, rng)[0]
-        claim_after_r0 = inner_r0.evaluate(r0)
 
-        one_minus = (1 - r0) % p
-        for j in range(num_extra):
-            poly_ABC[j] = (poly_ABC[j] + r0 * (poly_ABC[num_vars + j] - poly_ABC[j])) % p
-            z[j] = (z[j] + r0 * (z[num_vars + j] - z[j])) % p
-        for j in range(num_extra, num_vars):
-            poly_ABC[j] = poly_ABC[j] * one_minus % p
-            z[j] = z[j] * one_minus % p
-        poly_ABC = poly_ABC[:num_vars]
-        z = z[:num_vars]
+        if use_host:
+            evals_rx = eq_evals_host(field, r_x)
+            num_cols = S.num_cols
+            eA = _bind_matrix_row_vars(field, S.A, evals_rx, num_cols)
+            eB = _bind_matrix_row_vars(field, S.B, evals_rx, num_cols)
+            eC = _bind_matrix_row_vars(field, S.C, evals_rx, num_cols)
+            poly_ABC = [(a + r * b + r_sq * c) % p
+                        for a, b, c in zip(eA, eB, eC)]
+            poly_ABC += [0] * (2 * num_vars - len(poly_ABC))
 
-        def inner_challenge(j: int, poly: UniPoly) -> int:
-            vc.inner_polys[1 + j] = list(poly.coeffs)
-            return state.process_round(pcs, pk.vc_ck, vc,
-                                       num_rounds_x + 2 + j, transcript, rng)[0]
+            eval0 = sum(poly_ABC[j] * z[j] for j in range(num_vars)) % p
+            corr_low = sum(poly_ABC[j] * z[j] for j in range(num_extra)) % p
+            corr_cross = sum(
+                (poly_ABC[num_vars + j] - poly_ABC[j]) * (z[num_vars + j] - z[j])
+                for j in range(num_extra)
+            ) % p
+            t_inf = (eval0 - corr_low + corr_cross) % p
+            e2 = (2 * claim_inner - 3 * eval0 + 2 * t_inf) % p
+            inner_r0 = UniPoly.from_evals_deg2(
+                field, [eval0, (claim_inner - eval0) % p, e2])
+            vc.inner_polys[0] = list(inner_r0.coeffs)
+            r0 = state.process_round(pcs, pk.vc_ck, vc, num_rounds_x + 1,
+                                     transcript, rng)[0]
+            claim_after_r0 = inner_r0.evaluate(r0)
 
-        _, r_y_rest, finals_inner = prove_quad(
-            field, claim_after_r0, num_rounds_y - 1, poly_ABC, z,
-            challenge_fn=inner_challenge,
-        )
-        r_y = [r0] + r_y_rest
-        eval_Z = finals_inner[1]
+            one_minus = (1 - r0) % p
+            for j in range(num_extra):
+                poly_ABC[j] = (poly_ABC[j]
+                               + r0 * (poly_ABC[num_vars + j] - poly_ABC[j])) % p
+                z[j] = (z[j] + r0 * (z[num_vars + j] - z[j])) % p
+            for j in range(num_extra, num_vars):
+                poly_ABC[j] = poly_ABC[j] * one_minus % p
+                z[j] = z[j] * one_minus % p
+            poly_ABC = poly_ABC[:num_vars]
+            z = z[:num_vars]
+
+            def inner_challenge(j: int, poly: UniPoly) -> int:
+                vc.inner_polys[1 + j] = list(poly.coeffs)
+                return state.process_round(pcs, pk.vc_ck, vc,
+                                           num_rounds_x + 2 + j, transcript,
+                                           rng)[0]
+
+            _, r_y_rest, finals_inner = prove_quad(
+                field, claim_after_r0, num_rounds_y - 1, poly_ABC, z,
+                challenge_fn=inner_challenge,
+            )
+            r_y = [r0] + r_y_rest
+            eval_Z = finals_inner[1]
+        else:
+            eq_rx = eq_evals_device(
+                ops, jnp.asarray(ints_to_limbs_np(r_x, field, mont=True)))
+            r_mont = jnp.asarray(ints_to_limbs_np([r], field, mont=True))[:, 0]
+            abc_dev = S.bind_and_prepare_poly_ABC_device(eq_rx, r_mont)
+
+            round0 = get_zk_inner_round0(ops)
+            abc_k = abc_dev[:, None, :]
+            z_k = z_dev[:, None, :]
+            (eval0, t_inf), = round0.evals(field, abc_k, z_k, num_vars,
+                                           num_extra)
+            e2 = (2 * claim_inner - 3 * eval0 + 2 * t_inf) % p
+            inner_r0 = UniPoly.from_evals_deg2(
+                field, [eval0, (claim_inner - eval0) % p, e2])
+            vc.inner_polys[0] = list(inner_r0.coeffs)
+            r0 = state.process_round(pcs, pk.vc_ck, vc, num_rounds_x + 1,
+                                     transcript, rng)[0]
+            claim_after_r0 = inner_r0.evaluate(r0)
+            abc_k, z_k = round0.bind(field, abc_k, z_k, r0, num_vars,
+                                     num_extra)
+
+            def inner_challenge_dev(j: int, unis) -> int:
+                vc.inner_polys[1 + j] = list(unis[0].coeffs)
+                return state.process_round(pcs, pk.vc_ck, vc,
+                                           num_rounds_x + 2 + j, transcript,
+                                           rng)[0]
+
+            r_y_rest, finals_inner = get_zk_quad(ops).prove(
+                field, [claim_after_r0], (abc_k, z_k), num_rounds_y - 1,
+                inner_challenge_dev)
+            r_y = [r0] + r_y_rest
+            eval_Z = finals_inner[0][1]
 
         X = U.public_values + U.challenges
         eval_X = sparse_poly_evaluate_host(field, num_rounds_y - 1, [1] + X,
                                            r_y[1:])
         denom = (1 - r_y[0]) % p
         if denom == 0:
-            raise SpartanError("division by zero in eval_W")
+            raise DivisionByZeroError("division by zero in eval_W")
         eval_W = (eval_Z - r_y[0] * eval_X) * pow(denom, -1, p) % p
 
         vc.eval_W = eval_W
@@ -303,7 +387,7 @@ class SpartanZkSNARK:
 
         num_challenges = num_rounds_x + 1 + num_rounds_y
         if len(U_verifier_regular.X) != num_challenges + 3:
-            raise SpartanError("verifier instance has wrong public IO size")
+            raise ProofVerifyError("verifier instance has wrong public IO size")
         challenges = U_verifier_regular.X[:num_challenges]
         public_values = U_verifier_regular.X[num_challenges:num_challenges + 3]
 
@@ -311,9 +395,7 @@ class SpartanZkSNARK:
         r = challenges[num_rounds_x]
         r_y = challenges[num_rounds_x + 1:]
 
-        T_x = eq_evals_host(field, r_x)
-        T_y = eq_evals_host(field, r_y)
-        eval_A, eval_B, eval_C = S.evaluate_with_tables_fast(T_x, T_y)
+        eval_A, eval_B, eval_C = S.evaluate_at(r_x, r_y)
         quotient = (eval_A + r * eval_B + r * r * eval_C) % p
 
         _, X_orig = proof.U.to_regular(pcs)

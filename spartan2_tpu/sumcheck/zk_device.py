@@ -1,0 +1,458 @@
+"""Device kernels for the ZK sum-checks and the NeutronNova NIFS rounds.
+
+The ZK paths route every round polynomial through the verifier-circuit
+commit protocol (process_round) instead of a plain transcript, so the
+Fiat-Shamir challenge is inherently host-side each round
+(sumcheck.rs:575-917).  The TPU shape of that constraint: ONE fused
+device step per round that (a) binds the previous challenge and
+(b) computes the evaluation sums for all batched instances, with a
+single ~small device->host pull of the evaluation scalars; the host does
+the O(1) interpolation and the width-16/32 VC commit.
+
+Instances are stacked on a leading batch axis K (K=1 for SpartanZk,
+K=2 for NeutronNova's step/core lockstep), matching the reference's
+prove_*_batched_zk structure (sumcheck.rs:702-917).
+
+NifsRoundsDevice implements the NeutronNova zero-check rounds
+(neutronnova_zk.rs:511-1168) with the instance axis device-resident:
+per round one fused kernel folds the previous challenge into the
+A/B/C layers and produces the (e0, quad) pair; the rho algebra
+(finish_round) stays host-side where the challenges live.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..field.jnp_ops import NL, FieldOps
+from ..field.limbs import ints_to_limbs_np, limbs_to_ints
+from ..utils.jitcache import cached_jit
+
+
+def _up(spec, vals, mont=True):
+    return jnp.asarray(ints_to_limbs_np(vals, spec, mont=mont))
+
+
+def _bind_axis1(ops, arr, r):
+    """(NL, K, n) -> (NL, K, n/2) binding the top hypercube variable."""
+    half = arr.shape[-1] // 2
+    lo, hi = arr[..., :half], arr[..., half:]
+    rb = r.reshape((NL,) + (1,) * (arr.ndim - 1))
+    return ops.add(lo, ops.mont_mul(jnp.broadcast_to(rb, lo.shape),
+                                    ops.sub(hi, lo)))
+
+
+class DeviceZkSumcheckCubic:
+    """Batched cubic-with-additive-term sum-check: per instance k,
+    claim_k = sum_j E[j] * (A_k[j]*B_k[j] - C_k[j]).
+
+    Matches the host prove_cubic_batched_zk message flow exactly: per
+    round the device computes evals (t0, t2, t3) per instance, the host
+    interpolates the degree-3 polynomial and drives the VC round.
+    """
+
+    def __init__(self, ops: FieldOps):
+        self.ops = ops
+
+    @functools.lru_cache(maxsize=None)
+    def _step(self, n: int, K: int, bind_first: bool):
+        ops = self.ops
+
+        def step(E, A, B, C, r):
+            if bind_first:
+                E = _bind_axis1(ops, E, r)
+                A = _bind_axis1(ops, A, r)
+                B = _bind_axis1(ops, B, r)
+                C = _bind_axis1(ops, C, r)
+            half = A.shape[-1] // 2
+            E_l, E_h = E[:, :half], E[:, half:]
+            A_l, A_h = A[..., :half], A[..., half:]
+            B_l, B_h = B[..., :half], B[..., half:]
+            C_l, C_h = C[..., :half], C[..., half:]
+
+            def eval_at(Ev, Av, Bv, Cv):
+                u = ops.sub(ops.mont_mul(Av, Bv), Cv)  # (NL, K, half)
+                Eb = jnp.broadcast_to(Ev[:, None, :], u.shape)
+                # flatten (K, half) for the delayed-reduction sum, keep K
+                t = ops._mul_cols(Eb, u)
+                t = ops._parallel_carry(t)
+                m = half
+                while m > 1:
+                    k = min(m, 4096)
+                    t = t.reshape(t.shape[:2] + (m // k, k)).sum(axis=-1)
+                    t = ops._parallel_carry(t)
+                    m //= k
+                return ops.acc_reduce(t[..., 0])  # (NL, K)
+
+            t0 = eval_at(E_l, A_l, B_l, C_l)
+            E_d, A_d = ops.sub(E_h, E_l), ops.sub(A_h, A_l)
+            B_d, C_d = ops.sub(B_h, B_l), ops.sub(C_h, C_l)
+            E2, A2 = ops.add(E_h, E_d), ops.add(A_h, A_d)
+            B2, C2 = ops.add(B_h, B_d), ops.add(C_h, C_d)
+            t2 = eval_at(E2, A2, B2, C2)
+            E3, A3 = ops.add(E2, E_d), ops.add(A2, A_d)
+            B3, C3 = ops.add(B2, B_d), ops.add(C2, C_d)
+            t3 = eval_at(E3, A3, B3, C3)
+            evals = jnp.stack([t0, t2, t3], axis=2)  # (NL, K, 3)
+            return E, A, B, C, evals
+
+        return cached_jit(step)
+
+    @functools.lru_cache(maxsize=None)
+    def _final(self, n: int, K: int):
+        ops = self.ops
+
+        def fin(E, A, B, C, r):
+            E = _bind_axis1(ops, E, r)
+            A = _bind_axis1(ops, A, r)
+            B = _bind_axis1(ops, B, r)
+            C = _bind_axis1(ops, C, r)
+            # (NL, K, 1) finals + E scalar
+            return jnp.stack([A[..., 0], B[..., 0], C[..., 0]], axis=2), E[:, 0]
+
+        return cached_jit(fin)
+
+    def prove(self, spec, claims: list[int], E, polys, challenge_fn):
+        """``E``: (NL, n) device; ``polys``: (A, B, C) each (NL, K, n);
+        ``challenge_fn(round, unipolys) -> r`` drives the VC rounds.
+        Returns (rs, finals[k] = (A,B,C) ints, E_final int)."""
+        from ..polys.univariate import UniPoly
+
+        ops = self.ops
+        p = spec.modulus
+        A, B, C = polys
+        K = A.shape[1]
+        n = A.shape[2]
+        es = [c % p for c in claims]
+        rs: list[int] = []
+        r_dev = ops.const(0)
+        rnd = 0
+        while n > 1:
+            step = self._step(n, K, rnd > 0)
+            E, A, B, C, evals = step(E, A, B, C, r_dev)
+            ev = limbs_to_ints(np.asarray(evals).reshape(NL, -1), spec)
+            unis = []
+            for k in range(K):
+                t0, t2, t3 = ev[3 * k : 3 * k + 3]
+                unis.append(UniPoly.from_evals_deg3(
+                    spec, [t0, (es[k] - t0) % p, t2, t3]))
+            r = challenge_fn(rnd, unis)
+            rs.append(r)
+            es = [u.evaluate(r) for u in unis]
+            r_dev = _up(spec, [r])[:, 0]
+            rnd += 1
+            n //= 2
+        finals_dev, E_fin = self._final(2 * n, K)(E, A, B, C, r_dev)
+        vals = limbs_to_ints(np.asarray(finals_dev).reshape(NL, -1), spec)
+        finals = [tuple(vals[3 * k : 3 * k + 3]) for k in range(K)]
+        E_out = limbs_to_ints(np.asarray(E_fin), spec)[0]
+        return rs, finals, E_out
+
+
+class DeviceZkSumcheckQuad:
+    """Batched quadratic sum-check claim_k = sum_j A_k[j] * Z_k[j]
+    (sumcheck.rs:646-782) with per-round VC challenges."""
+
+    def __init__(self, ops: FieldOps):
+        self.ops = ops
+
+    @functools.lru_cache(maxsize=None)
+    def _step(self, n: int, K: int, bind_first: bool):
+        ops = self.ops
+
+        def step(A, Z, r):
+            if bind_first:
+                A = _bind_axis1(ops, A, r)
+                Z = _bind_axis1(ops, Z, r)
+            half = A.shape[-1] // 2
+            A_l, A_h = A[..., :half], A[..., half:]
+            Z_l, Z_h = Z[..., :half], Z[..., half:]
+
+            def pair_sum(x, y):
+                t = ops._mul_cols(x, y)
+                t = ops._parallel_carry(t)
+                m = half
+                while m > 1:
+                    k = min(m, 4096)
+                    t = t.reshape(t.shape[:2] + (m // k, k)).sum(axis=-1)
+                    t = ops._parallel_carry(t)
+                    m //= k
+                return ops.acc_reduce(t[..., 0])
+
+            t0 = pair_sum(A_l, Z_l)
+            t_inf = pair_sum(ops.sub(A_h, A_l), ops.sub(Z_h, Z_l))
+            evals = jnp.stack([t0, t_inf], axis=2)  # (NL, K, 2)
+            return A, Z, evals
+
+        return cached_jit(step)
+
+    @functools.lru_cache(maxsize=None)
+    def _final(self, n: int, K: int):
+        ops = self.ops
+
+        def fin(A, Z, r):
+            A = _bind_axis1(ops, A, r)
+            Z = _bind_axis1(ops, Z, r)
+            return jnp.stack([A[..., 0], Z[..., 0]], axis=2)
+
+        return cached_jit(fin)
+
+    def prove(self, spec, claims: list[int], polys, num_rounds: int,
+              challenge_fn):
+        """``polys``: (A, Z) each (NL, K, n).  Returns (rs, finals[k] =
+        (A_final, Z_final))."""
+        from ..polys.univariate import UniPoly
+
+        ops = self.ops
+        p = spec.modulus
+        A, Z = polys
+        K = A.shape[1]
+        n = A.shape[2]
+        assert n == 1 << num_rounds
+        es = [c % p for c in claims]
+        rs: list[int] = []
+        r_dev = ops.const(0)
+        for rnd in range(num_rounds):
+            step = self._step(n, K, rnd > 0)
+            A, Z, evals = step(A, Z, r_dev)
+            ev = limbs_to_ints(np.asarray(evals).reshape(NL, -1), spec)
+            unis = []
+            for k in range(K):
+                t0, t_inf = ev[2 * k : 2 * k + 2]
+                e2 = (2 * es[k] - 3 * t0 + 2 * t_inf) % p
+                unis.append(UniPoly.from_evals_deg2(
+                    spec, [t0, (es[k] - t0) % p, e2]))
+            r = challenge_fn(rnd, unis)
+            rs.append(r)
+            es = [u.evaluate(r) for u in unis]
+            r_dev = _up(spec, [r])[:, 0]
+            n //= 2
+        finals_dev = self._final(2 * n, K)(A, Z, r_dev)
+        vals = limbs_to_ints(np.asarray(finals_dev).reshape(NL, -1), spec)
+        finals = [tuple(vals[2 * k : 2 * k + 2]) for k in range(K)]
+        return rs, finals
+
+
+class ZkInnerRound0:
+    """BDDT round 0 of the inner sum-check with a VC-driven challenge
+    (spartan_zk.rs round 0 = spartan.rs:326-394 but the challenge comes
+    from the verifier-circuit commit round, so the kernel is split:
+    ``evals`` pulls the three correction sums, the host interpolates and
+    runs the VC round, ``bind`` applies the structured fold).
+
+    Polys carry a leading K instance axis like the other ZK engines.
+    """
+
+    def __init__(self, ops: FieldOps):
+        self.ops = ops
+
+    @functools.lru_cache(maxsize=None)
+    def _evals(self, num_vars: int, num_extra: int, K: int):
+        ops = self.ops
+
+        def ev(abc, z):
+            # abc/z: (NL, K, 2*num_vars)
+            abc_lo, abc_hi = abc[..., :num_vars], abc[..., num_vars:]
+            z_lo, z_hi = z[..., :num_vars], z[..., num_vars:]
+
+            def psum(x, y):
+                t = ops._mul_cols(x, y)
+                t = ops._parallel_carry(t)
+                m = x.shape[-1]
+                while m > 1:
+                    k = min(m, 4096)
+                    t = t.reshape(t.shape[:2] + (m // k, k)).sum(axis=-1)
+                    t = ops._parallel_carry(t)
+                    m //= k
+                return ops.acc_reduce(t[..., 0])  # (NL, K)
+
+            eval0 = psum(abc_lo, z_lo)
+            a_l, a_h = abc_lo[..., :num_extra], abc_hi[..., :num_extra]
+            z_l, z_h = z_lo[..., :num_extra], z_hi[..., :num_extra]
+            corr_low = psum(a_l, z_l)
+            corr_cross = psum(ops.sub(a_h, a_l), ops.sub(z_h, z_l))
+            t_inf = ops.add(ops.sub(eval0, corr_low), corr_cross)
+            return jnp.stack([eval0, t_inf], axis=2)  # (NL, K, 2)
+
+        return cached_jit(ev)
+
+    @functools.lru_cache(maxsize=None)
+    def _bind(self, num_vars: int, num_extra: int, K: int):
+        ops = self.ops
+
+        def bind(abc, z, r0):
+            abc_lo, abc_hi = abc[..., :num_vars], abc[..., num_vars:]
+            z_lo, z_hi = z[..., :num_vars], z[..., num_vars:]
+            a_l, a_h = abc_lo[..., :num_extra], abc_hi[..., :num_extra]
+            z_l, z_h = z_lo[..., :num_extra], z_hi[..., :num_extra]
+            one = ops.const(ops.spec.r_mod, ())
+            one_minus = ops.sub(one, r0)
+            rb = jnp.broadcast_to(r0[:, None, None], a_l.shape)
+            omb = jnp.broadcast_to(one_minus[:, None, None],
+                                   abc_lo[..., num_extra:].shape)
+            abc_new = jnp.concatenate([
+                ops.add(a_l, ops.mont_mul(rb, ops.sub(a_h, a_l))),
+                ops.mont_mul(omb, abc_lo[..., num_extra:])], axis=2)
+            z_new = jnp.concatenate([
+                ops.add(z_l, ops.mont_mul(rb, ops.sub(z_h, z_l))),
+                ops.mont_mul(omb, z_lo[..., num_extra:])], axis=2)
+            return abc_new, z_new
+
+        return cached_jit(bind)
+
+    def evals(self, spec, abc, z, num_vars: int, num_extra: int):
+        """-> per-instance (eval0, t_inf) host ints."""
+        K = abc.shape[1]
+        ev = self._evals(num_vars, num_extra, K)(abc, z)
+        vals = limbs_to_ints(np.asarray(ev).reshape(NL, -1), spec)
+        return [tuple(vals[2 * k : 2 * k + 2]) for k in range(K)]
+
+    def bind(self, spec, abc, z, r0: int, num_vars: int, num_extra: int):
+        K = abc.shape[1]
+        r_dev = _up(spec, [r0])[:, 0]
+        return self._bind(num_vars, num_extra, K)(abc, z, r_dev)
+
+
+class NifsRoundsDevice:
+    """NeutronNova NIFS round engine: A/B/C layers device-resident on an
+    (instance, constraint) grid; per round one fused kernel folds the
+    previous challenge and emits the (e0, quad) sums
+    (neutronnova_zk.rs:703-735, 854-1168).
+    """
+
+    def __init__(self, ops: FieldOps):
+        self.ops = ops
+
+    @functools.lru_cache(maxsize=None)
+    def _step(self, I: int, n: int, bind_first: bool):
+        ops = self.ops
+
+        def step(A, B, C, E, w, r):
+            # A/B/C: (NL, I, n); E: (NL, n); w: (NL, I/2) suffix weights
+            if bind_first:
+                A = self._fold(A, r)
+                B = self._fold(B, r)
+                C = self._fold(C, r)
+            Ae, Ao = A[:, 0::2], A[:, 1::2]
+            Be, Bo = B[:, 0::2], B[:, 1::2]
+            Ce = C[:, 0::2]
+
+            def weighted(u):
+                # inner sum over constraints with E, outer over pairs with w
+                Eb = jnp.broadcast_to(E[:, None, :], u.shape)
+                t = ops._mul_cols(Eb, u)
+                t = ops._parallel_carry(t)
+                m = u.shape[-1]
+                while m > 1:
+                    k = min(m, 4096)
+                    t = t.reshape(t.shape[:2] + (m // k, k)).sum(axis=-1)
+                    t = ops._parallel_carry(t)
+                    m //= k
+                inner = ops.acc_reduce(t[..., 0])  # (NL, pairs)
+                return ops.sum_products(w, inner)
+
+            e0 = weighted(ops.sub(ops.mont_mul(Ae, Be), Ce))
+            quad = weighted(ops.mont_mul(ops.sub(Ao, Ae), ops.sub(Bo, Be)))
+            return A, B, C, jnp.stack([e0, quad], axis=1)
+
+        return cached_jit(step)
+
+    def _fold(self, arr, r):
+        """(NL, I, n) -> (NL, I/2, n): even + r * (odd - even)."""
+        ops = self.ops
+        even, odd = arr[:, 0::2], arr[:, 1::2]
+        rb = jnp.broadcast_to(r[:, None, None], even.shape)
+        return ops.add(even, ops.mont_mul(rb, ops.sub(odd, even)))
+
+    @functools.lru_cache(maxsize=None)
+    def _final_fold(self, I: int, n: int):
+        def fin(A, B, C, r):
+            return (self._fold(A, r)[:, 0], self._fold(B, r)[:, 0],
+                    self._fold(C, r)[:, 0])
+        return cached_jit(fin)
+
+    @functools.lru_cache(maxsize=None)
+    def _weighted_fold(self, I: int, n: int):
+        ops = self.ops
+
+        def fold(W, weights):
+            # W: (NL, I, n), weights: (NL, I) -> (NL, n)
+            t = ops._mul_cols(weights[:, :, None], W)
+            t = ops._parallel_carry(t)
+            m = I
+            while m > 1:
+                k = min(m, 64)
+                t = t.reshape((t.shape[0], m // k, k) + t.shape[2:]).sum(axis=2)
+                t = ops._parallel_carry(t)
+                m //= k
+            return ops.acc_reduce(t[:, 0])
+
+        return cached_jit(fold)
+
+    def run(self, spec, A, B, C, E, rhos: list[int], round_cb):
+        """Run ell_b rounds.  ``round_cb(t, e0, quad) -> r_b`` performs
+        the host finish_round algebra + VC round and returns the
+        challenge.  Returns (r_bs, (Az, Bz, Cz) folded (NL, n))."""
+        ops = self.ops
+        I = A.shape[1]
+        n = A.shape[2]
+        ell_b = I.bit_length() - 1
+        if ell_b == 0:
+            return [], (A[:, 0], B[:, 0], C[:, 0])
+        r_bs: list[int] = []
+        r_dev = ops.const(0)
+        for t in range(ell_b):
+            pairs = A.shape[1] // 2 if t == 0 else A.shape[1] // 4
+            w_host = [_suffix_weight(spec, t, ell_b, pair, rhos)
+                      for pair in range(max(pairs, 1))]
+            w = _up(spec, w_host)
+            step = self._step(A.shape[1], n, t > 0)
+            A, B, C, eq = step(A, B, C, E, w, r_dev)
+            e0, quad = limbs_to_ints(np.asarray(eq), spec)
+            r_b = round_cb(t, e0, quad)
+            r_bs.append(r_b)
+            r_dev = _up(spec, [r_b])[:, 0]
+        Az, Bz, Cz = self._final_fold(A.shape[1], n)(A, B, C, r_dev)
+        return r_bs, (Az, Bz, Cz)
+
+    def fold_witnesses(self, spec, W_stack, weights: list[int]):
+        """(NL, I, nv) witness planes x host eq-tensor weights -> (NL, nv)."""
+        w = _up(spec, weights)
+        return self._weighted_fold(W_stack.shape[1], W_stack.shape[2])(
+            W_stack, w)
+
+
+# process-wide engine caches: compiled round kernels (and their ~10s
+# executable deserialization) are reused across prove() calls
+@functools.lru_cache(maxsize=None)
+def get_zk_cubic(ops: FieldOps) -> DeviceZkSumcheckCubic:
+    return DeviceZkSumcheckCubic(ops)
+
+
+@functools.lru_cache(maxsize=None)
+def get_zk_quad(ops: FieldOps) -> DeviceZkSumcheckQuad:
+    return DeviceZkSumcheckQuad(ops)
+
+
+@functools.lru_cache(maxsize=None)
+def get_zk_inner_round0(ops: FieldOps) -> ZkInnerRound0:
+    return ZkInnerRound0(ops)
+
+
+@functools.lru_cache(maxsize=None)
+def get_nifs_rounds(ops: FieldOps) -> NifsRoundsDevice:
+    return NifsRoundsDevice(ops)
+
+
+def _suffix_weight(spec, t: int, ell_b: int, pair_idx: int,
+                   rhos: list[int]) -> int:
+    """prod_{s>t} eq(rho_s, bit_s) (neutronnova_zk.rs:77-87)."""
+    p = spec.modulus
+    w, k = 1, pair_idx
+    for s in range(t + 1, ell_b):
+        w = w * (rhos[s] if k & 1 else (1 - rhos[s]) % p) % p
+        k >>= 1
+    return w
