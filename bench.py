@@ -7,15 +7,21 @@ the reference's criterion target which benches prove() with a reused
 PrepSNARK (benches/sha256_spartan.rs:219-236).
 
 Env knobs:
-  BENCH_WORKLOAD   sha256_prove (default) | sumcheck
-  BENCH_PREIMAGE_BYTES   preimage size for sha256_prove (default 1024,
-                         the reference's headline message size)
+  BENCH_WORKLOAD   sha256_prove (default) | sumcheck | neutronnova
+  BENCH_PREIMAGE_BYTES   preimage size for sha256_prove (default 1024;
+                         the reference benches 1024 and 2048,
+                         benches/sha256_spartan.rs:167)
+  BENCH_NN_STEPS   NeutronNova batch size (default 16; reference 16/32,
+                   benches/sha256_neutronnova.rs:37-45)
   BENCH_SIZE       log2 hypercube size for sumcheck (default 20)
+  BENCH_ENGINE     engine name (default P256HyraxEngine — the stand-in
+                   for the reference's T256HyraxEngine bench engine,
+                   provider/engines.py)
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 ``vs_baseline``: the reference publishes no absolute numbers
-(BASELINE.md); we normalize against documented estimates of the Rust
-prover on a 16-core x86 host.
+(BASELINE.md); we normalize against documented ESTIMATES of the Rust
+prover on a 16-core x86 host, and mark that in "baseline" fields.
 """
 
 import json
@@ -75,7 +81,7 @@ def bench_sha256_prove():
     n_bytes = int(os.environ.get("BENCH_PREIMAGE_BYTES", "1024"))
     preimage = bytes(i & 0xFF for i in range(n_bytes))
     circuit = Sha256Circuit(preimage)
-    engine = get_engine("PallasHyraxEngine")
+    engine = get_engine(os.environ.get("BENCH_ENGINE", "P256HyraxEngine"))
 
     det = lambda seed: (lambda q, r=random.Random(seed).randrange: r(q))
     pk, vk = SpartanSNARK.setup(engine, circuit, width=2048)
@@ -103,7 +109,9 @@ def bench_sha256_prove():
         "value": round(dt, 4),
         "unit": "s",
         "vs_baseline": round(baseline_s / dt, 4),  # >1 means faster than est.
+        "baseline": f"estimated Rust 16-core x86: {baseline_s:.2f}s (no published numbers)",
         "proof_bytes": proof_bytes,
+        "engine": engine.name,
     }
 
 
@@ -117,10 +125,12 @@ def bench_neutronnova():
     from spartan2_tpu.snark.neutronnova import NeutronNovaZkSNARK
     from spartan2_tpu.utils.serde import neutronnova_proof_to_bytes
 
-    n_steps = int(os.environ.get("BENCH_NN_STEPS", "4"))
-    step_circuits = [Sha256Circuit(bytes([i] * 8)) for i in range(n_steps)]
-    core = Sha256Circuit(bytes(8))
-    engine = get_engine("PallasHyraxEngine")
+    n_steps = int(os.environ.get("BENCH_NN_STEPS", "16"))
+    # reference shape: one 64-byte block (one SHA-256 compression,
+    # ~26k constraints) per step (benches/sha256_neutronnova.rs:37-45)
+    step_circuits = [Sha256Circuit(bytes([i] * 55)) for i in range(n_steps)]
+    core = Sha256Circuit(bytes(55))
+    engine = get_engine(os.environ.get("BENCH_ENGINE", "P256HyraxEngine"))
     det = lambda seed: (lambda q, r=random.Random(seed).randrange: r(q))
 
     pk, vk = NeutronNovaZkSNARK.setup(engine, step_circuits[0], core, n_steps,
@@ -137,12 +147,15 @@ def bench_neutronnova():
                                            is_small=True, rng=det(3))
     dt = time.time() - t0
     # Rust estimate: ~40 ms/step fold + prove overhead on 16 cores.
+    baseline_s = 0.04 * n_steps + 0.3
     return {
         "metric": f"neutronnova_{n_steps}steps_sha256_prove_latency",
         "value": round(dt, 4),
         "unit": "s",
-        "vs_baseline": round((0.04 * n_steps + 0.3) / dt, 4),
+        "vs_baseline": round(baseline_s / dt, 4),
+        "baseline": f"estimated Rust 16-core x86: {baseline_s:.2f}s (no published numbers)",
         "proof_bytes": size,
+        "engine": engine.name,
     }
 
 
