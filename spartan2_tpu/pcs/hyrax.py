@@ -343,14 +343,18 @@ class HyraxPCS:
             LZ = limbs_to_ints(np.asarray(poly_mont), scalar, mont=True)
             r_LZ = blind.blind[0]
         else:
+            from ..utils.tracing import span as _span
+
             L = eq_evals_host(scalar, point[:num_vars_rows])
             Rv = eq_evals_host(scalar, point[num_vars_rows:])
-            LZ = self._bind_rows_device(poly_mont, L, len(Rv))
+            with _span("hyrax_bind_LZ"):
+                LZ = self._bind_rows_device(poly_mont, L, len(Rv))
             r_LZ = sum(l * b for l, b in zip(L, blind.blind)) % p
-            comm_LZ = self.curve.add(
-                self._msm_gens(ck, LZ),
-                self.curve.scalar_mul(r_LZ, ck.h),
-            )
+            with _span("hyrax_msm_LZ"):
+                comm_LZ = self.curve.add(
+                    self._msm_gens(ck, LZ),
+                    self.curve.scalar_mul(r_LZ, ck.h),
+                )
 
         ipa = self._ipa_prove(
             ck, ck_eval, comm_LZ, Rv, comm_eval.comm[0], LZ, r_LZ,
@@ -401,13 +405,16 @@ class HyraxPCS:
         rand = rng if rng is not None else secrets.randbelow
         self._absorb_ipa_instance(transcript, comm_a, comm_c)
 
+        from ..utils.tracing import span as _span
+
         d_vec = [rand(p) for _ in b_vec]
         r_delta = rand(p)
         r_beta = rand(p)
-        delta = self.curve.add(
-            self._msm_gens(ck, d_vec),
-            self.curve.scalar_mul(r_delta, ck.h),
-        )
+        with _span("ipa_msm_delta"):
+            delta = self.curve.add(
+                self._msm_gens(ck, d_vec),
+                self.curve.scalar_mul(r_delta, ck.h),
+            )
         ip_bd = sum(x * y for x, y in zip(b_vec, d_vec)) % p
         beta = self.curve.add(
             self.curve.scalar_mul(ip_bd, ck_eval.ck[0]),

@@ -367,8 +367,9 @@ class SpartanSNARK:
         # ONE host sync for the transcript state + all three final claims
         import jax
 
-        state_np, finals_arr = jax.device_get(
-            (td.state, jnp.stack(finals_outer, axis=1)))
+        with span("outer_sync_pull"):
+            state_np, finals_arr = jax.device_get(
+                (td.state, jnp.stack(finals_outer, axis=1)))
         transcript.state = state_np.tobytes()
         transcript.round = td.round
         claim_Az, claim_Bz, claim_Cz = limbs_to_ints(
@@ -398,7 +399,8 @@ class SpartanSNARK:
                 td, abc_b, z_b, claim_dev, num_rounds_y - 1
             )
         # Batched host pulls: one transfer per group instead of per round.
-        state_np, outer_arr, inner_arr, tail_arr = jax.device_get((
+        with span("tail_sync_pull"):
+         state_np, outer_arr, inner_arr, tail_arr = jax.device_get((
             td.state,
             jnp.concatenate(coeffs_outer, axis=1),
             jnp.concatenate([coeffs_r0] + coeffs_inner, axis=1),

@@ -86,6 +86,7 @@ def get_inner_round0(ops: FieldOps) -> "SpartanInnerRound0":
 
 
 @functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=4096)
 def round_dev(i: int) -> jnp.ndarray:
     """Device-resident round counter (cached: avoids a host->device
     transfer per sum-check round on the tunneled TPU).  Built WITHOUT a
@@ -296,17 +297,19 @@ class SumcheckProverCubicEq:
         return t0, two_level(finf)
 
     @functools.lru_cache(maxsize=None)
-    def _step(self, n: int, el_len: int, zero_check: bool, fallback: bool):
-        """el_len == 0 -> single-level weights (second half)."""
+    def _step(self, n: int, el_len: int, zero_check: bool, fallback: bool,
+              sl_c: tuple, sl_el, sl_er: tuple):
+        """el_len == 0 -> single-level weights (second half).  ``sl_*``
+        are static [lo, hi) slices into the one-shot flat constants
+        upload (round constants, left/right eq tables) — slicing inside
+        the jit keeps the per-round host work at zero dispatches."""
         ops = self.ops
         half_const = ops.spec.two_inv * ops.spec.r_mod % ops.p
 
-        def step(A, Bp, C, *args):
-            if el_len:
-                EL, ER, P, claim, consts, tstate, t_round = args
-            else:
-                EL = None
-                ER, P, claim, consts, tstate, t_round = args
+        def step(A, Bp, C, flat, P, claim, tstate, t_round):
+            consts = flat[:, sl_c[0] : sl_c[1]]
+            EL = flat[:, sl_el[0] : sl_el[1]] if el_len else None
+            ER = flat[:, sl_er[0] : sl_er[1]]
             eq_0, eq_slope, eq_m1, inv_tau = (consts[:, i] for i in range(4))
             half = n // 2
             A_l, A_h = A[:, :half], A[:, half:]
@@ -381,29 +384,49 @@ class SumcheckProverCubicEq:
         assert A.shape[1] == 1 << m
         fh = m // 2
 
-        def up(vals, mont=True):
-            return jnp.asarray(ints_to_limbs_np(vals, spec, mont=mont))
+        # ONE host->device upload for every per-round constant: the
+        # tunneled link costs ~tens of ms per transfer, so per-round
+        # uploads would dominate the whole sum-check.  Flat-pack the
+        # round constants, the shared right table, the per-round left
+        # tables, and the second-half tails; rounds take static slices.
+        flat: list[int] = []
+        slices: dict = {}
 
-        ER_full = up(eq_evals_host(spec, taus[fh:]))
+        def pack(key, vals):
+            slices[key] = (len(flat), len(flat) + len(vals))
+            flat.extend(vals)
+
+        for j in range(m):
+            tau = taus[j] % p
+            pack(("c", j), [(1 - tau) % p, (2 * tau - 1) % p,
+                            (2 - 3 * tau) % p,
+                            pow(tau, -1, p) if tau else 0])
+        pack("ER", eq_evals_host(spec, taus[fh:]))
+        for j in range(fh - 1):
+            pack(("EL", j), eq_evals_host(spec, taus[j + 1 : fh]))
+        for j in range(max(fh - 1, 0), m):
+            pack(("T", j), eq_evals_host(spec, taus[j + 1 :]))
+        flat_dev = jnp.asarray(ints_to_limbs_np(flat, spec, mont=True))
+
         P = ops.const(ops.spec.r_mod)  # running eq prefix, starts at ONE
         coeffs_out, r_out = [], []
         n = 1 << m
         for j in range(m):
             tau = taus[j] % p
-            consts = up([(1 - tau) % p, (2 * tau - 1) % p, (2 - 3 * tau) % p,
-                         pow(tau, -1, p) if tau else 0])
             two_level = j < fh - 1
             if two_level:
-                EL = up(eq_evals_host(spec, taus[j + 1 : fh]))
-                ER = ER_full
-                el_len = EL.shape[1]
+                sl_el = slices[("EL", j)]
+                sl_er = slices["ER"]
+                el_len = sl_el[1] - sl_el[0]
             else:
-                ER = up(eq_evals_host(spec, taus[j + 1 :]))
+                sl_el = (0, 0)
+                sl_er = slices[("T", j)]
                 el_len = 0
-            step = self._step(n, el_len, zero_check and j == 0, tau == 0)
-            args = (A, Bp, C) + ((EL, ER) if two_level else (ER,)) + (
-                P, claim, consts, td.state, round_dev(int(td.round)))
-            A, Bp, C, P, claim, r, coeffs, tstate = step(*args)
+            step = self._step(n, el_len, zero_check and j == 0, tau == 0,
+                              slices[("c", j)], sl_el, sl_er)
+            A, Bp, C, P, claim, r, coeffs, tstate = step(
+                A, Bp, C, flat_dev, P, claim, td.state,
+                round_dev(int(td.round)))
             td.state = tstate
             td.round += 1
             coeffs_out.append(coeffs)

@@ -65,7 +65,7 @@ def keccak_f1600(lanes: list[int]) -> list[int]:
 _RATE = 136  # bytes (1088-bit rate for Keccak-256)
 
 
-def keccak256(data: bytes) -> bytes:
+def _keccak256_py(data: bytes) -> bytes:
     """Keccak-256 digest (original padding 0x01 .. 0x80)."""
     state = [0] * 25
     # absorb
@@ -98,3 +98,16 @@ class Keccak256:
 
     def finalize(self) -> bytes:
         return keccak256(bytes(self._buf))
+
+
+# Native C implementation when the toolchain allows (one-time build,
+# cached by source hash); pure-Python fallback above stays the ground
+# truth for the KAT tests (tests/test_transcript.py cross-checks both).
+try:
+    from ..native import load_keccak as _load_native_keccak
+
+    _native = _load_native_keccak()
+except Exception:  # pragma: no cover - build env without a compiler
+    _native = None
+
+keccak256 = _native if _native is not None else _keccak256_py

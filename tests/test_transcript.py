@@ -75,3 +75,13 @@ def test_device_transcript_matches_host():
     c2h = th.squeeze(b"c2")
     c2d = td.squeeze_mont(b"c2")
     assert limbs_to_ints(c2d, F)[0] == c2h
+
+
+def test_native_keccak_matches_python():
+    """The C keccak (native/keccak.c) must agree with the pure-Python
+    ground truth on padding edge cases and multi-block streams."""
+    from spartan2_tpu.transcript.keccak import _keccak256_py, keccak256
+
+    for n in (0, 1, 135, 136, 137, 271, 272, 273, 4096, 17001):
+        data = bytes(i & 0xFF for i in range(n))
+        assert keccak256(data) == _keccak256_py(data), n
