@@ -501,3 +501,67 @@ def neutronnova_keys_from_bytes(data: bytes, engine):
     if pk.vk_digest != digest:
         raise DigestError("reloaded NeutronNova key digest mismatch")
     return pk, vk
+
+
+def _write_precommitted_state(w: Writer, ps) -> None:
+    w.scalars(ps.W)
+    w.opt_commitment(ps.comm_W_shared)
+    _opt_blind(w, ps.r_W_shared)
+    w.opt_commitment(ps.comm_W_precommitted)
+    _opt_blind(w, ps.r_W_precommitted)
+    w.u64(ps.cs.num_aux)
+    w.scalars(ps.cs.aux_assignment)
+    w.scalars(ps.cs.input_assignment)
+
+
+def _read_precommitted_state(r: Reader, engine, pk_shape, circuit):
+    from ..frontend.constraint_system import ConstraintSystem
+    from ..snark.spartan import PrecommittedState
+
+    W = r.scalars()
+    comm_s = r.opt_commitment()
+    blind_s = _read_opt_blind(r)
+    comm_p = r.opt_commitment()
+    blind_p = _read_opt_blind(r)
+    num_aux = r.u64()
+    aux = r.scalars()
+    inputs = r.scalars()
+
+    cs = ConstraintSystem(engine.scalar, shape_mode=False)
+    shared = circuit.shared(cs)
+    precommitted = circuit.precommitted(cs, shared)
+    cs.num_aux = num_aux
+    cs.aux_assignment = aux
+    cs.input_assignment = inputs
+    return PrecommittedState(
+        cs=cs, shared=shared, precommitted=precommitted, W=W,
+        comm_W_shared=comm_s, r_W_shared=blind_s,
+        comm_W_precommitted=comm_p, r_W_precommitted=blind_p,
+    )
+
+
+def neutronnova_prep_to_bytes(prep, engine) -> bytes:
+    """NeutronNovaPrep: one PrecommittedState per step + the core's."""
+    w = Writer(engine.scalar, engine.curve)
+    w.u64(len(prep.ps_step))
+    for ps in prep.ps_step:
+        _write_precommitted_state(w, ps)
+    _write_precommitted_state(w, prep.ps_core)
+    return w.bytes_out()
+
+
+def neutronnova_prep_from_bytes(data: bytes, engine, pk, step_circuits,
+                                core_circuit):
+    from ..snark.neutronnova import NeutronNovaPrep
+
+    r = Reader(engine.scalar, engine.curve, data)
+    n = r.u64()
+    if n != len(step_circuits):
+        raise SpartanError("prep step count mismatch")
+    ps_step = [
+        _read_precommitted_state(r, engine, pk.S_step, circ)
+        for circ in step_circuits
+    ]
+    ps_core = _read_precommitted_state(r, engine, pk.S_core, core_circuit)
+    r.done()
+    return NeutronNovaPrep(ps_step=ps_step, ps_core=ps_core)

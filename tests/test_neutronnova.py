@@ -97,3 +97,33 @@ def test_neutronnova_end_to_end():
     proof.step_instances[1].public_values = [29]
     with pytest.raises(SpartanError):
         NeutronNovaZkSNARK.verify(proof, vk, num_steps)
+
+
+def test_nn_keys_and_prep_serialization_roundtrip():
+    """setup/prep -> serialize -> reload -> prove/verify (reference: all
+    keys + PrepSNARK derive Serialize)."""
+    from spartan2_tpu.utils.serde import (
+        neutronnova_keys_from_bytes,
+        neutronnova_keys_to_bytes,
+        neutronnova_prep_from_bytes,
+        neutronnova_prep_to_bytes,
+    )
+
+    engine = get_engine("PallasHyraxEngine")
+    steps = [SquareStepCircuit(2), SquareStepCircuit(5)]
+    core = CoreCircuit()
+    pk, vk = NeutronNovaZkSNARK.setup(engine, steps[0], core, 2, width=4)
+    prep = NeutronNovaZkSNARK.prep_prove(pk, steps, core, rng=det_rng(11))
+
+    pk2, vk2 = neutronnova_keys_from_bytes(
+        neutronnova_keys_to_bytes(pk, 2), engine)
+    assert pk2.vk_digest == pk.vk_digest
+    prep2 = neutronnova_prep_from_bytes(
+        neutronnova_prep_to_bytes(prep, engine), engine, pk2, steps, core)
+    assert prep2.ps_core.W == prep.ps_core.W
+    assert [p.W for p in prep2.ps_step] == [p.W for p in prep.ps_step]
+
+    proof, _ = NeutronNovaZkSNARK.prove(pk2, steps, core, prep2,
+                                        rng=det_rng(12))
+    step_io, core_io = NeutronNovaZkSNARK.verify(proof, vk2, 2)
+    assert step_io == [[7], [28]] and core_io == [42]

@@ -46,3 +46,19 @@ def test_spartan_zk_end_to_end(engine):
     proof.U_verifier.challenges_per_round[0][0] = (bad + 1) % engine.scalar.modulus
     with pytest.raises(SpartanError):
         SpartanZkSNARK.verify(proof, vk)
+
+
+def test_zk_keys_serialization_roundtrip(engine):
+    """keys -> serialize -> reload (digest-checked) -> prove/verify."""
+    from spartan2_tpu.utils.serde import (
+        spartan_zk_keys_from_bytes,
+        spartan_zk_keys_to_bytes,
+    )
+
+    circuit = CubicCircuit()
+    pk, vk = SpartanZkSNARK.setup(engine, circuit, width=4)
+    pk2, vk2 = spartan_zk_keys_from_bytes(spartan_zk_keys_to_bytes(pk), engine)
+    assert pk2.vk_digest == pk.vk_digest
+    prep = SpartanZkSNARK.prep_prove(pk2, circuit, rng=det_rng(7))
+    proof, _ = SpartanZkSNARK.prove(pk2, circuit, prep, rng=det_rng(8))
+    assert SpartanZkSNARK.verify(proof, vk2) == [15]
