@@ -85,7 +85,6 @@ def get_inner_round0(ops: FieldOps) -> "SpartanInnerRound0":
     return SpartanInnerRound0(ops)
 
 
-@functools.lru_cache(maxsize=None)
 @functools.lru_cache(maxsize=4096)
 def round_dev(i: int) -> jnp.ndarray:
     """Device-resident round counter (cached: avoids a host->device
@@ -105,6 +104,12 @@ def absorb_unipoly(td: DeviceTranscript, coeffs: jnp.ndarray) -> None:
     canon = td.ops.from_mont(comp)
     le = limbs_to_bytes(canon, 32)  # (32, k-1)
     td.absorb_bytes(b"p", le.T.reshape(-1))
+
+
+# rounds at or below this size fuse into one multi-round kernel: each
+# kernel dispatch over the tunneled link costs ~25 ms, while the tail
+# rounds' device work is microseconds
+TAIL_FUSE_N = 4096
 
 
 def _bind_top(ops: FieldOps, arr: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
@@ -199,50 +204,80 @@ class SumcheckProverQuad:
     def __init__(self, ops: FieldOps):
         self.ops = ops
 
+    def _round_body(self, n: int, A, Bp, claim, tstate, t_round):
+        ops = self.ops
+        half = n // 2
+        A_l, A_h = A[:, :half], A[:, half:]
+        B_l, B_h = Bp[:, :half], Bp[:, half:]
+        t0 = ops.sum_products(A_l, B_l)
+        A_d, B_d = ops.sub(A_h, A_l), ops.sub(B_h, B_l)
+        t_inf = ops.sum_products(A_d, B_d)
+        # e2 = 2*claim - 3*e0 + 2*t_inf
+        e2 = ops.add(ops.sub(ops.double(claim),
+                             ops.add(ops.double(t0), t0)),
+                     ops.double(t_inf))
+        e1 = ops.sub(claim, t0)
+        coeffs = from_evals3_dev(ops, t0, e1, e2)
+
+        td = DeviceTranscript(ops, state=tstate,
+                              round=jnp.asarray(t_round, jnp.uint32))
+        absorb_unipoly(td, coeffs)
+        r = td.squeeze_mont(b"c")
+        new_claim = unipoly_eval_dev(ops, coeffs, r)
+
+        rb = jnp.broadcast_to(r[:, None], (NL, half))
+        A_n = ops.add(A_l, ops.mont_mul(rb, A_d))
+        B_n = ops.add(B_l, ops.mont_mul(rb, B_d))
+        return A_n, B_n, new_claim, r, coeffs, td.state
+
     @functools.lru_cache(maxsize=None)
     def _step(self, n: int):
-        ops = self.ops
-
         def step(A, Bp, claim, tstate, t_round):
-            half = n // 2
-            A_l, A_h = A[:, :half], A[:, half:]
-            B_l, B_h = Bp[:, :half], Bp[:, half:]
-            t0 = ops.sum_products(A_l, B_l)
-            A_d, B_d = ops.sub(A_h, A_l), ops.sub(B_h, B_l)
-            t_inf = ops.sum_products(A_d, B_d)
-            # e2 = 2*claim - 3*e0 + 2*t_inf
-            e2 = ops.add(ops.sub(ops.double(claim),
-                                 ops.add(ops.double(t0), t0)),
-                         ops.double(t_inf))
-            e1 = ops.sub(claim, t0)
-            coeffs = from_evals3_dev(ops, t0, e1, e2)
-
-            td = DeviceTranscript(ops, state=tstate,
-                                  round=jnp.asarray(t_round, jnp.uint32))
-            absorb_unipoly(td, coeffs)
-            r = td.squeeze_mont(b"c")
-            new_claim = unipoly_eval_dev(ops, coeffs, r)
-
-            rb = jnp.broadcast_to(r[:, None], (NL, half))
-            A_n = ops.add(A_l, ops.mont_mul(rb, A_d))
-            B_n = ops.add(B_l, ops.mont_mul(rb, B_d))
-            return A_n, B_n, new_claim, r, coeffs, td.state
+            return self._round_body(n, A, Bp, claim, tstate, t_round)
 
         return cached_jit(step)
+
+    @functools.lru_cache(maxsize=None)
+    def _tail_fused(self, n0: int, k: int):
+        """Rounds of size n0, n0/2, ... in ONE kernel (see TAIL_FUSE_N)."""
+
+        def fused(A, Bp, claim, tstate, t_round):
+            rs, cs = [], []
+            n = n0
+            for i in range(k):
+                A, Bp, claim, r, coeffs, tstate = self._round_body(
+                    n, A, Bp, claim, tstate, t_round + i)
+                rs.append(r)
+                cs.append(coeffs)
+                n //= 2
+            return A, Bp, claim, tuple(rs), tuple(cs), tstate
+
+        return cached_jit(fused)
 
     def prove(self, td: DeviceTranscript, A, Bp, claim, num_rounds: int):
         n = A.shape[1]
         assert n == 1 << num_rounds
         coeffs_out, r_out = [], []
-        for _ in range(num_rounds):
-            step = self._step(n)
-            A, Bp, claim, r, coeffs, tstate = step(A, Bp, claim, td.state,
-                                                   round_dev(int(td.round)))
+        done = 0
+        while done < num_rounds:
+            remaining = num_rounds - done
+            if n <= TAIL_FUSE_N and remaining > 1:
+                A, Bp, claim, rs, cs, tstate = self._tail_fused(
+                    n, remaining)(A, Bp, claim, td.state,
+                                  round_dev(int(td.round)))
+                td.state = tstate
+                td.round += remaining
+                coeffs_out.extend(cs)
+                r_out.extend(rs)
+                break
+            A, Bp, claim, r, coeffs, tstate = self._step(n)(
+                A, Bp, claim, td.state, round_dev(int(td.round)))
             td.state = tstate
             td.round += 1
             coeffs_out.append(coeffs)
             r_out.append(r)
             n //= 2
+            done += 1
         finals = (A[:, 0], Bp[:, 0])
         return coeffs_out, r_out, finals, claim
 
@@ -296,77 +331,99 @@ class SumcheckProverCubicEq:
         t0 = two_level(f0) if f0 is not None else None
         return t0, two_level(finf)
 
-    @functools.lru_cache(maxsize=None)
-    def _step(self, n: int, el_len: int, zero_check: bool, fallback: bool,
-              sl_c: tuple, sl_el, sl_er: tuple):
-        """el_len == 0 -> single-level weights (second half).  ``sl_*``
-        are static [lo, hi) slices into the one-shot flat constants
-        upload (round constants, left/right eq tables) — slicing inside
-        the jit keeps the per-round host work at zero dispatches."""
+    def _round_body(self, spec_r: tuple, A, Bp, C, flat, P, claim, tstate,
+                    t_round):
+        """One traced Gruen round.  ``spec_r`` is the static per-round
+        tuple (n, el_len, zero_check, fallback, sl_c, sl_el, sl_er)
+        where sl_* are [lo, hi) slices into the one-shot flat constants
+        upload — static slicing keeps per-round host work at zero
+        transfers.  Shared by the per-round jit and the fused tail."""
+        n, el_len, zero_check, fallback, sl_c, sl_el, sl_er = spec_r
         ops = self.ops
         half_const = ops.spec.two_inv * ops.spec.r_mod % ops.p
+        consts = flat[:, sl_c[0] : sl_c[1]]
+        EL = flat[:, sl_el[0] : sl_el[1]] if el_len else None
+        ER = flat[:, sl_er[0] : sl_er[1]]
+        eq_0, eq_slope, eq_m1, inv_tau = (consts[:, i] for i in range(4))
+        half = n // 2
+        A_l, A_h = A[:, :half], A[:, half:]
+        B_l, B_h = Bp[:, :half], Bp[:, half:]
+        C_l, C_h = C[:, :half], C[:, half:]
+        A_d, B_d, C_d = (ops.sub(A_h, A_l), ops.sub(B_h, B_l),
+                         ops.sub(C_h, C_l))
 
+        def grid(x):
+            return x.reshape(NL, el_len, half // el_len) if el_len else x
+
+        f0 = None
+        if not zero_check:
+            f0 = grid(ops.sub(ops.mont_mul(A_l, B_l), C_l))
+        finf = grid(ops.mont_mul(A_d, B_d))
+        t0_raw, tinf_raw = self._weighted_pair(EL, ER, f0, finf)
+
+        Tinf = ops.mont_mul(tinf_raw, P)
+        c3 = ops.mont_mul(eq_slope, Tinf)  # s_leading
+        if zero_check:
+            zero = jnp.zeros((NL,), jnp.int32)
+            T0, c0, e1 = zero, zero, zero
+        else:
+            T0 = ops.mont_mul(t0_raw, P)
+            c0 = ops.mont_mul(eq_0, T0)  # s(0)
+            e1 = ops.sub(claim, c0)  # s(1)
+        if fallback:
+            # tau == 0: compute t(-1) directly with a third sum
+            fm1 = grid(ops.sub(
+                ops.mont_mul(ops.sub(ops.double(A_l), A_h),
+                             ops.sub(ops.double(B_l), B_h)),
+                ops.sub(ops.double(C_l), C_h)))
+            _, tm1_raw = self._weighted_pair(EL, ER, None, fm1)
+            Tm1 = ops.mont_mul(tm1_raw, P)
+        else:
+            T1 = ops.mont_mul(e1, inv_tau)  # s(1)/(tau*P) * P
+            Tm1 = ops.sub(ops.add(ops.double(Tinf), ops.double(T0)), T1)
+        s_m1 = ops.mont_mul(eq_m1, Tm1)
+        c1 = ops.sub(ops.mul_const(ops.sub(e1, s_m1), half_const), c3)
+        c2 = ops.sub(ops.mul_const(ops.add(e1, s_m1), half_const), c0)
+        coeffs = jnp.stack([c0, c1, c2, c3], axis=1)
+
+        td = DeviceTranscript(ops, state=tstate,
+                              round=jnp.asarray(t_round, jnp.uint32))
+        absorb_unipoly(td, coeffs)
+        r = td.squeeze_mont(b"c")
+        new_claim = unipoly_eval_dev(ops, coeffs, r)
+
+        rb = jnp.broadcast_to(r[:, None], (NL, half))
+        A_n = ops.add(A_l, ops.mont_mul(rb, A_d))
+        B_n = ops.add(B_l, ops.mont_mul(rb, B_d))
+        C_n = ops.add(C_l, ops.mont_mul(rb, C_d))
+        eq_tau_r = ops.add(eq_0, ops.mont_mul(eq_slope, r))
+        P_n = ops.mont_mul(P, eq_tau_r)
+        return A_n, B_n, C_n, P_n, new_claim, r, coeffs, td.state
+
+    @functools.lru_cache(maxsize=None)
+    def _step(self, spec_r: tuple):
         def step(A, Bp, C, flat, P, claim, tstate, t_round):
-            consts = flat[:, sl_c[0] : sl_c[1]]
-            EL = flat[:, sl_el[0] : sl_el[1]] if el_len else None
-            ER = flat[:, sl_er[0] : sl_er[1]]
-            eq_0, eq_slope, eq_m1, inv_tau = (consts[:, i] for i in range(4))
-            half = n // 2
-            A_l, A_h = A[:, :half], A[:, half:]
-            B_l, B_h = Bp[:, :half], Bp[:, half:]
-            C_l, C_h = C[:, :half], C[:, half:]
-            A_d, B_d, C_d = (ops.sub(A_h, A_l), ops.sub(B_h, B_l),
-                             ops.sub(C_h, C_l))
-
-            def grid(x):
-                return x.reshape(NL, el_len, half // el_len) if el_len else x
-
-            f0 = None
-            if not zero_check:
-                f0 = grid(ops.sub(ops.mont_mul(A_l, B_l), C_l))
-            finf = grid(ops.mont_mul(A_d, B_d))
-            t0_raw, tinf_raw = self._weighted_pair(EL, ER, f0, finf)
-
-            Tinf = ops.mont_mul(tinf_raw, P)
-            c3 = ops.mont_mul(eq_slope, Tinf)  # s_leading
-            if zero_check:
-                zero = jnp.zeros((NL,), jnp.int32)
-                T0, c0, e1 = zero, zero, zero
-            else:
-                T0 = ops.mont_mul(t0_raw, P)
-                c0 = ops.mont_mul(eq_0, T0)  # s(0)
-                e1 = ops.sub(claim, c0)  # s(1)
-            if fallback:
-                # tau == 0: compute t(-1) directly with a third sum
-                fm1 = grid(ops.sub(
-                    ops.mont_mul(ops.sub(ops.double(A_l), A_h),
-                                 ops.sub(ops.double(B_l), B_h)),
-                    ops.sub(ops.double(C_l), C_h)))
-                _, tm1_raw = self._weighted_pair(EL, ER, None, fm1)
-                Tm1 = ops.mont_mul(tm1_raw, P)
-            else:
-                T1 = ops.mont_mul(e1, inv_tau)  # s(1)/(tau*P) * P
-                Tm1 = ops.sub(ops.add(ops.double(Tinf), ops.double(T0)), T1)
-            s_m1 = ops.mont_mul(eq_m1, Tm1)
-            c1 = ops.sub(ops.mul_const(ops.sub(e1, s_m1), half_const), c3)
-            c2 = ops.sub(ops.mul_const(ops.add(e1, s_m1), half_const), c0)
-            coeffs = jnp.stack([c0, c1, c2, c3], axis=1)
-
-            td = DeviceTranscript(ops, state=tstate,
-                                  round=jnp.asarray(t_round, jnp.uint32))
-            absorb_unipoly(td, coeffs)
-            r = td.squeeze_mont(b"c")
-            new_claim = unipoly_eval_dev(ops, coeffs, r)
-
-            rb = jnp.broadcast_to(r[:, None], (NL, half))
-            A_n = ops.add(A_l, ops.mont_mul(rb, A_d))
-            B_n = ops.add(B_l, ops.mont_mul(rb, B_d))
-            C_n = ops.add(C_l, ops.mont_mul(rb, C_d))
-            eq_tau_r = ops.add(eq_0, ops.mont_mul(eq_slope, r))
-            P_n = ops.mont_mul(P, eq_tau_r)
-            return A_n, B_n, C_n, P_n, new_claim, r, coeffs, td.state
+            return self._round_body(spec_r, A, Bp, C, flat, P, claim,
+                                    tstate, t_round)
 
         return cached_jit(step)
+
+    @functools.lru_cache(maxsize=None)
+    def _tail_fused(self, specs: tuple):
+        """All remaining small rounds in ONE kernel — per-round dispatch
+        over the tunneled link costs ~25 ms, so the 12 tail rounds of a
+        2^20 sum-check would otherwise spend ~300 ms on dispatch alone."""
+
+        def fused(A, Bp, C, flat, P, claim, tstate, t_round):
+            rs, coeffs_list = [], []
+            for i, spec_r in enumerate(specs):
+                A, Bp, C, P, claim, r, coeffs, tstate = self._round_body(
+                    spec_r, A, Bp, C, flat, P, claim, tstate, t_round + i)
+                rs.append(r)
+                coeffs_list.append(coeffs)
+            return A, Bp, C, P, claim, tuple(rs), tuple(coeffs_list), tstate
+
+        return cached_jit(fused)
 
     # driver -------------------------------------------------------------
     def prove(self, td: DeviceTranscript, A, Bp, C, claim, taus: list[int],
@@ -408,10 +465,7 @@ class SumcheckProverCubicEq:
             pack(("T", j), eq_evals_host(spec, taus[j + 1 :]))
         flat_dev = jnp.asarray(ints_to_limbs_np(flat, spec, mont=True))
 
-        P = ops.const(ops.spec.r_mod)  # running eq prefix, starts at ONE
-        coeffs_out, r_out = [], []
-        n = 1 << m
-        for j in range(m):
+        def spec_for(j):
             tau = taus[j] % p
             two_level = j < fh - 1
             if two_level:
@@ -422,9 +476,28 @@ class SumcheckProverCubicEq:
                 sl_el = (0, 0)
                 sl_er = slices[("T", j)]
                 el_len = 0
-            step = self._step(n, el_len, zero_check and j == 0, tau == 0,
-                              slices[("c", j)], sl_el, sl_er)
-            A, Bp, C, P, claim, r, coeffs, tstate = step(
+            return (1 << (m - j), el_len, zero_check and j == 0, tau == 0,
+                    slices[("c", j)], sl_el, sl_er)
+
+        P = ops.const(ops.spec.r_mod)  # running eq prefix, starts at ONE
+        coeffs_out, r_out = [], []
+        n = 1 << m
+        j = 0
+        while j < m:
+            # fuse the whole tail into one kernel once rounds are small
+            # and tau-nonzero (the tau==0 fallback stays per-round)
+            if (n <= TAIL_FUSE_N and m - j > 1
+                    and all(taus[k] % p for k in range(j, m))):
+                specs = tuple(spec_for(k) for k in range(j, m))
+                A, Bp, C, P, claim, rs, cs, tstate = self._tail_fused(specs)(
+                    A, Bp, C, flat_dev, P, claim, td.state,
+                    round_dev(int(td.round)))
+                td.state = tstate
+                td.round += len(specs)
+                coeffs_out.extend(cs)
+                r_out.extend(rs)
+                break
+            A, Bp, C, P, claim, r, coeffs, tstate = self._step(spec_for(j))(
                 A, Bp, C, flat_dev, P, claim, td.state,
                 round_dev(int(td.round)))
             td.state = tstate
@@ -432,6 +505,7 @@ class SumcheckProverCubicEq:
             coeffs_out.append(coeffs)
             r_out.append(r)
             n //= 2
+            j += 1
         finals = (A[:, 0], Bp[:, 0], C[:, 0])
         return coeffs_out, r_out, finals, claim
 
