@@ -5,14 +5,15 @@ Reference: src/r1cs/sparse.rs.  The reference classifies entries into
 multiplies (PrecomputedSparseMatrix, sparse.rs:29-134).  The TPU version
 keeps the same classification but expresses SpMV as
 
-    gather(z, cols) -> scale (integer limb multiply for unit/small,
-    Montgomery multiply for general) -> segment-sum by row -> one wide
-    reduction per row,
+    gather(z, ELL cols) -> scale (integer limb multiply for unit/small,
+    Montgomery multiply for general) -> dense per-row reduction -> one
+    wide reduction per row,
 
-which maps the row-parallel rayon loop (sparse.rs:221-233) onto the VPU:
-negative coefficients become negative int32 limbs (the wide reducer's
-arithmetic shifts propagate borrows), so -1 entries cost a single vector
-multiply by -1 instead of a field negation.
+with NO scatters (see DeviceSpMV: TPU scatter is serial), mapping the
+row-parallel rayon loop (sparse.rs:221-233) onto the VPU: negative
+coefficients become negative int32 limbs (the wide reducer's arithmetic
+shifts propagate borrows), so -1 entries cost a single vector multiply
+by -1 instead of a field negation.
 """
 
 from __future__ import annotations
@@ -103,22 +104,40 @@ SMALL_MAX = 7
 
 @dataclass
 class DeviceSpMV:
-    """Device-side SpMV program for one sparse matrix.
+    """Device-side SpMV program for one sparse matrix — scatter-free.
 
-    Entries are split into an integer-coefficient stream (|k| <= 7,
-    including +/-1) and a general field-coefficient stream; both are
-    row-sorted so segment sums can assume sorted ids.
+    TPU scatter (the lowering of segment_sum) costs ~1 us per element,
+    which made the 450k-nnz SHA-256 SpMVs the hidden dominant phase of
+    the whole prover (PROFILE.md round 2).  This layout uses only
+    gathers and dense reductions:
+
+    * int tier 1: a dense ELL block (num_rows, K0) holding the first K0
+      integer-coefficient entries of every row (|k| <= 7 incl. +/-1;
+      pad entries are col 0 with coefficient 0).
+    * int tier 2: overflow entries of dense rows as a compact ELL over
+      just those rows; their row sums re-enter the output through a
+      STATIC inverse-map gather (no scatter).
+    * gen stream: general field coefficients as a compact ELL over the
+      rows that have any, Montgomery-multiplied then combined through
+      the same inverse-map gather.
+
+    The reference's stream classification (sparse.rs:29-134) is kept;
+    the rayon row loop becomes the dense row axis.
     """
 
     ops: FieldOps
     num_rows: int
     num_cols: int
-    int_cols: jnp.ndarray  # (n_int,) int32 gather indices
-    int_rows: jnp.ndarray  # (n_int,) int32 segment ids
-    int_coeffs: jnp.ndarray  # (n_int,) int32 in [-7, 7]
-    gen_cols: jnp.ndarray  # (n_gen,)
-    gen_rows: jnp.ndarray  # (n_gen,)
-    gen_vals: jnp.ndarray  # (NL, n_gen) Montgomery form
+    t1_cols: jnp.ndarray          # (num_rows, K0) int32
+    t1_coef: jnp.ndarray          # (num_rows, K0) int32
+    t2_cols: object               # (n2, K1) int32 or None
+    t2_coef: object               # (n2, K1) int32 or None
+    t2_inv: object                # (num_rows,) int32 into n2+1 (pad=0)
+    g_cols: object                # (ng, Kg) int32 or None
+    g_vals: object                # (NL, ng, Kg) Montgomery or None
+    g_inv: object                 # (num_rows,) int32 into ng+1
+
+    K0_CAP = 8
 
     @classmethod
     def build(cls, ops: FieldOps, m: SparseMatrix, num_rows: int,
@@ -129,6 +148,8 @@ class DeviceSpMV:
         reference's ``build_filtered`` / ``FilteredSpmv``
         (sparse.rs:305-380), used for cached-prefix incremental SpMV."""
         p = m.field.modulus
+        int_by_row: dict[int, list] = {}
+        gen_by_row: dict[int, list] = {}
         int_entries, gen_entries = [], []
         for row, col, val in m.iter_entries():
             if col < col_min or (col_max is not None and col >= col_max):
@@ -136,39 +157,76 @@ class DeviceSpMV:
             col -= col_min
             k = val if val <= SMALL_MAX else val - p if val >= p - SMALL_MAX else None
             if k is not None:
+                int_by_row.setdefault(row, []).append((col, k))
                 int_entries.append((row, col, k))
             else:
+                gen_by_row.setdefault(row, []).append((col, val))
                 gen_entries.append((row, col, val))
-        ic = np.array([e[1] for e in int_entries] or [0], np.int32)
-        ir = np.array([e[0] for e in int_entries] or [num_rows], np.int32)
-        ik = np.array([e[2] for e in int_entries] or [0], np.int32)
-        gc = np.array([e[1] for e in gen_entries] or [0], np.int32)
-        gr = np.array([e[0] for e in gen_entries] or [num_rows], np.int32)
-        gv = ints_to_limbs_np([e[2] for e in gen_entries] or [0], m.field, mont=True)
         cls._check_row_density(int_entries, gen_entries, num_rows)
+
+        max_nnz = max((len(v) for v in int_by_row.values()), default=0)
+        K0 = min(cls.K0_CAP, max(max_nnz, 1))
+        t1c = np.zeros((num_rows, K0), np.int32)
+        t1k = np.zeros((num_rows, K0), np.int32)
+        over: dict[int, list] = {}
+        for row, ents in int_by_row.items():
+            head = ents[:K0]
+            for j, (c, k) in enumerate(head):
+                t1c[row, j] = c
+                t1k[row, j] = k
+            if len(ents) > K0:
+                over[row] = ents[K0:]
+
+        def compact(by_row: dict, with_vals: bool):
+            """rows-with-entries ELL + inverse map (pad slot = last)."""
+            if not by_row:
+                return None, None, None
+            rows = sorted(by_row)
+            n2 = len(rows)
+            K1 = max(len(by_row[r]) for r in rows)
+            cols = np.zeros((n2, K1), np.int32)
+            if with_vals:
+                vals_int = [[0] * K1 for _ in range(n2)]
+            else:
+                coefs = np.zeros((n2, K1), np.int32)
+            for i, r in enumerate(rows):
+                for j, (c, v) in enumerate(by_row[r]):
+                    cols[i, j] = c
+                    if with_vals:
+                        vals_int[i][j] = v
+                    else:
+                        coefs[i, j] = v
+            inv = np.full(num_rows, n2, np.int32)
+            inv[np.asarray(rows, np.int64)] = np.arange(n2, dtype=np.int32)
+            if with_vals:
+                flat = [v for row_v in vals_int for v in row_v]
+                vals = jnp.asarray(
+                    ints_to_limbs_np(flat, m.field, mont=True)
+                ).reshape(NL, n2, K1)
+                return jnp.asarray(cols), vals, jnp.asarray(inv)
+            return jnp.asarray(cols), jnp.asarray(coefs), jnp.asarray(inv)
+
+        t2_cols, t2_coef, t2_inv = compact(over, with_vals=False)
+        g_cols, g_vals, g_inv = compact(gen_by_row, with_vals=True)
+
         hi = m.cols if col_max is None else col_max
         return cls(
-            ops=ops,
-            num_rows=num_rows,
-            num_cols=hi - col_min,
-            int_cols=jnp.asarray(ic),
-            int_rows=jnp.asarray(ir),
-            int_coeffs=jnp.asarray(ik),
-            gen_cols=jnp.asarray(gc),
-            gen_rows=jnp.asarray(gr),
-            gen_vals=jnp.asarray(gv),
+            ops=ops, num_rows=num_rows, num_cols=hi - col_min,
+            t1_cols=jnp.asarray(t1c), t1_coef=jnp.asarray(t1k),
+            t2_cols=t2_cols, t2_coef=t2_coef, t2_inv=t2_inv,
+            g_cols=g_cols, g_vals=g_vals, g_inv=g_inv,
         )
 
     @staticmethod
     def _check_row_density(int_entries, gen_entries, num_rows: int) -> None:
         """Overflow guard for the lazy int32 accumulation
         (the role of the reference's debug_assert carry checks,
-        big_num/limbs.rs:87): each segment-sum row must keep
-        |limb| < 2^29 before _reduce_lazy's offset add.  Per entry the
-        worst per-limb magnitude is |k| * (2^12 - 1) for the +/-small
-        stream (|k| <= SMALL_MAX) and ~2^13 for the Montgomery-product
-        stream (loose [0, 2p) operands).  A malicious or degenerate
-        dense row would silently corrupt, so raise instead."""
+        big_num/limbs.rs:87): each row sum must keep |limb| < 2^29
+        before _reduce_lazy's offset add.  Per entry the worst per-limb
+        magnitude is |k| * (2^12 - 1) for the +/-small stream
+        (|k| <= SMALL_MAX) and ~2^13 for the Montgomery-product stream
+        (loose [0, 2p) operands).  A malicious or degenerate dense row
+        would silently corrupt, so raise instead."""
         from ..errors import InvalidIndexError
 
         budget = np.zeros(num_rows + 1, np.int64)
@@ -185,49 +243,53 @@ class DeviceSpMV:
                 f"row too dense for lazy int32 accumulation: "
                 f"worst per-limb magnitude {worst} >= 2^29")
 
+    # -- evaluation ------------------------------------------------------
+    def _accumulate(self, take, mont_mul):
+        """Shared scatter-free accumulation; ``take(flat_idx) ->
+        (..., n)`` gathers from z with arbitrary leading batch dims."""
+        R = self.num_rows
+        K0 = self.t1_cols.shape[1]
+        vi = take(self.t1_cols.reshape(-1))
+        vi = vi.reshape(vi.shape[:-1] + (R, K0))
+        acc = (vi * self.t1_coef[..., :, :]).sum(axis=-1)
+
+        if self.t2_cols is not None:
+            n2, K1 = self.t2_cols.shape
+            v2 = take(self.t2_cols.reshape(-1))
+            v2 = v2.reshape(v2.shape[:-1] + (n2, K1))
+            s2 = (v2 * self.t2_coef[..., :, :]).sum(axis=-1)
+            pad = jnp.zeros(s2.shape[:-1] + (1,), jnp.int32)
+            acc = acc + jnp.concatenate([s2, pad], axis=-1)[..., self.t2_inv]
+
+        if self.g_cols is not None:
+            ng, Kg = self.g_cols.shape
+            vg = take(self.g_cols.reshape(-1))
+            vg = vg.reshape(vg.shape[:-1] + (ng, Kg))
+            gm = mont_mul(vg)
+            sg = gm.sum(axis=-1)
+            pad = jnp.zeros(sg.shape[:-1] + (1,), jnp.int32)
+            acc = acc + jnp.concatenate([sg, pad], axis=-1)[..., self.g_inv]
+        return acc
+
     def multiply_vec(self, z: jnp.ndarray) -> jnp.ndarray:
         """(NL, num_cols) -> (NL, num_rows), values in Montgomery form."""
         ops = self.ops
-        # integer stream: gathered limbs scaled by small signed ints
-        vi = jnp.take(z, self.int_cols, axis=1)  # (NL, n_int)
-        scaled = vi * self.int_coeffs[None, :]
-        acc_int = jax.ops.segment_sum(
-            scaled.T, self.int_rows, num_segments=self.num_rows + 1,
-            indices_are_sorted=True,
-        ).T  # (NL, rows+1); sentinel row absorbs padding
-
-        # general stream: Montgomery multiply then segment sum
-        vg = jnp.take(z, self.gen_cols, axis=1)
-        prod = ops.mont_mul(vg, self.gen_vals)
-        acc_gen = jax.ops.segment_sum(
-            prod.T, self.gen_rows, num_segments=self.num_rows + 1,
-            indices_are_sorted=True,
-        ).T
-
-        total = acc_int[:, : self.num_rows] + acc_gen[:, : self.num_rows]
-        return _reduce_lazy(ops, total)
-
+        acc = self._accumulate(
+            lambda idx: jnp.take(z, idx, axis=1),
+            lambda vg: ops.mont_mul(vg, self.g_vals),
+        )
+        return _reduce_lazy(ops, acc)
 
     def multiply_vec_batched(self, z: jnp.ndarray) -> jnp.ndarray:
-        """(NL, I, num_cols) -> (NL, I, num_rows): one gather+segment-sum
-        over the whole instance batch (reference multiply_vec_batched,
+        """(NL, I, num_cols) -> (NL, I, num_rows): the whole instance
+        batch in one gather+reduce sweep (reference multiply_vec_batched,
         sparse.rs:237-302 — rayon sub-batches become a device axis)."""
         ops = self.ops
-        I = z.shape[1]
-        vi = jnp.take(z, self.int_cols, axis=2)  # (NL, I, n_int)
-        scaled = vi * self.int_coeffs[None, None, :]
-        acc_int = jax.ops.segment_sum(
-            jnp.moveaxis(scaled, 2, 0), self.int_rows,
-            num_segments=self.num_rows + 1, indices_are_sorted=True,
-        )  # (rows+1, NL, I)
-        vg = jnp.take(z, self.gen_cols, axis=2)
-        prod = ops.mont_mul(vg, self.gen_vals[:, None, :])
-        acc_gen = jax.ops.segment_sum(
-            jnp.moveaxis(prod, 2, 0), self.gen_rows,
-            num_segments=self.num_rows + 1, indices_are_sorted=True,
+        acc = self._accumulate(
+            lambda idx: jnp.take(z, idx, axis=2),
+            lambda vg: ops.mont_mul(vg, self.g_vals[:, None]),
         )
-        total = jnp.moveaxis((acc_int + acc_gen)[: self.num_rows], 0, 2)
-        return _reduce_lazy(ops, total)
+        return _reduce_lazy(ops, acc)
 
 
 def _reduce_lazy(ops: FieldOps, t: jnp.ndarray) -> jnp.ndarray:
