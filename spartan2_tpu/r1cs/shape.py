@@ -230,71 +230,92 @@ class SplitR1CSShape:
 
     def multiply_vec_device(self, z_mont: jnp.ndarray):
         """(NL, num_cols) -> (Az, Bz, Cz) each (NL, num_cons), one fused
-        jitted call (reference multiply_vec, r1cs/mod.rs:1075-1107)."""
+        jitted call (reference multiply_vec, r1cs/mod.rs:1075-1107).
+
+        SpMV program arrays travel as jit ARGUMENTS (see
+        DeviceSpMV.prog): closed over, their multi-million-element index
+        tables become HLO constants and XLA compile time explodes."""
+        from .sparse import spmv_apply
+
         d = self._device
+        ops = self._ops
         if self._mv_jit is None:
-            def f(z):
-                return (d["A"].multiply_vec(z), d["B"].multiply_vec(z),
-                        d["C"].multiply_vec(z))
+            def f(z, pa, pb, pc):
+                return (spmv_apply(ops, pa, z), spmv_apply(ops, pb, z),
+                        spmv_apply(ops, pc, z))
             self._mv_jit = cached_jit(f)
-        return self._mv_jit(z_mont)
+        return self._mv_jit(z_mont, d["A"].prog, d["B"].prog, d["C"].prog)
 
     def multiply_vec_batched_device(self, z_batch: jnp.ndarray):
         """(NL, I, num_cols) -> per-instance (Az, Bz, Cz) each
         (NL, I, num_cons) (reference multiply_vec_batched,
         r1cs/mod.rs:1132-1166)."""
+        from .sparse import spmv_apply_batched
+
         d = self._device
+        ops = self._ops
         if getattr(self, "_mv_batched_jit", None) is None:
-            def f(z):
-                return (d["A"].multiply_vec_batched(z),
-                        d["B"].multiply_vec_batched(z),
-                        d["C"].multiply_vec_batched(z))
+            def f(z, pa, pb, pc):
+                return (spmv_apply_batched(ops, pa, z),
+                        spmv_apply_batched(ops, pb, z),
+                        spmv_apply_batched(ops, pc, z))
             self._mv_batched_jit = cached_jit(f)
-        return self._mv_batched_jit(z_batch)
+        return self._mv_batched_jit(z_batch, d["A"].prog, d["B"].prog,
+                                    d["C"].prog)
 
     def multiply_vec_precommitted_device(self, z_prefix: jnp.ndarray):
         """Cacheable prefix products over the shared+precommitted columns
         (reference multiply_vec_precommitted, r1cs/mod.rs:1112-1128).
         ``z_prefix``: (NL, num_shared+num_precommitted)."""
+        from .sparse import spmv_apply
+
         d = self._device
+        ops = self._ops
         if self._mv_pre_jit is None:
-            def f(z):
-                return (d["A_pre"].multiply_vec(z), d["B_pre"].multiply_vec(z),
-                        d["C_pre"].multiply_vec(z))
+            def f(z, pa, pb, pc):
+                return (spmv_apply(ops, pa, z), spmv_apply(ops, pb, z),
+                        spmv_apply(ops, pc, z))
             self._mv_pre_jit = cached_jit(f)
-        return self._mv_pre_jit(z_prefix)
+        return self._mv_pre_jit(z_prefix, d["A_pre"].prog, d["B_pre"].prog,
+                                d["C_pre"].prog)
 
     def multiply_vec_incremental_device(self, z_suffix: jnp.ndarray, cached):
         """cached prefix products + filtered SpMV over the suffix columns
         (rest witness, ONE, public IO, challenges) — the reference's
         multiply_vec_incremental_into (r1cs/mod.rs:1170-1211).
         ``z_suffix``: (NL, num_cols - prefix)."""
+        from .sparse import spmv_apply
+
         d = self._device
         ops = self._ops
         if self._mv_inc_jit is None:
-            def f(z, ca, cb, cc):
-                return (ops.add(ca, d["A_sfx"].multiply_vec(z)),
-                        ops.add(cb, d["B_sfx"].multiply_vec(z)),
-                        ops.add(cc, d["C_sfx"].multiply_vec(z)))
+            def f(z, ca, cb, cc, pa, pb, pc):
+                return (ops.add(ca, spmv_apply(ops, pa, z)),
+                        ops.add(cb, spmv_apply(ops, pb, z)),
+                        ops.add(cc, spmv_apply(ops, pc, z)))
             self._mv_inc_jit = cached_jit(f)
-        return self._mv_inc_jit(z_suffix, *cached)
+        return self._mv_inc_jit(z_suffix, *cached, d["A_sfx"].prog,
+                                d["B_sfx"].prog, d["C_sfx"].prog)
 
     def bind_and_prepare_poly_ABC_device(self, eq_rx: jnp.ndarray,
                                          r_mont: jnp.ndarray) -> jnp.ndarray:
         """poly_ABC[j] = sum_i eq_rx[i] * (A+rB+r^2C)[i,j] over the
         2*num_vars domain (reference r1cs/mod.rs:1235-1398)."""
+        from .sparse import spmv_apply
+
         d = self._device
         ops = self._ops
         if self._abc_jit is None:
-            def f(eq, r):
-                a = d["At"].multiply_vec(eq)
-                b = d["Bt"].multiply_vec(eq)
-                c = d["Ct"].multiply_vec(eq)
+            def f(eq, r, pa, pb, pc):
+                a = spmv_apply(ops, pa, eq)
+                b = spmv_apply(ops, pb, eq)
+                c = spmv_apply(ops, pc, eq)
                 nvars2 = a.shape[1]
                 rb = jnp.broadcast_to(r[:, None], (NL, nvars2))
                 return ops.add(a, ops.mont_mul(rb, ops.add(b, ops.mont_mul(rb, c))))
             self._abc_jit = cached_jit(f)
-        return self._abc_jit(eq_rx, r_mont)
+        return self._abc_jit(eq_rx, r_mont, d["At"].prog, d["Bt"].prog,
+                             d["Ct"].prog)
 
     # ------------------------------------------------------------------
     # host-side evaluation / satisfaction
@@ -315,15 +336,19 @@ class SplitR1CSShape:
         rx = jnp.asarray(ints_to_limbs_np(r_x, self.field, mont=True))
         ry = jnp.asarray(ints_to_limbs_np(r_y, self.field, mont=True))
         if getattr(self, "_eval_jit", None) is None:
-            def f(rx, ry):
+            from .sparse import spmv_apply
+
+            def f(rx, ry, pa, pb, pc):
                 Tx = eq_evals_device(ops, rx)
                 Ty = eq_evals_device(ops, ry)[:, : self.num_cols]
                 return tuple(
-                    ops.sum_products(Tx, d[M].multiply_vec(Ty))
-                    for M in ("A", "B", "C")
+                    ops.sum_products(Tx, spmv_apply(ops, pm, Ty))
+                    for pm in (pa, pb, pc)
                 )
             self._eval_jit = cached_jit(f)
-        out = jnp.stack(self._eval_jit(rx, ry), axis=1)
+        out = jnp.stack(
+            self._eval_jit(rx, ry, d["A"].prog, d["B"].prog, d["C"].prog),
+            axis=1)
         return tuple(limbs_to_ints(np.asarray(out), self.field))
 
     def is_sat_host(self, z: list[int]) -> None:

@@ -244,52 +244,72 @@ class DeviceSpMV:
                 f"worst per-limb magnitude {worst} >= 2^29")
 
     # -- evaluation ------------------------------------------------------
-    def _accumulate(self, take, mont_mul):
-        """Shared scatter-free accumulation; ``take(flat_idx) ->
-        (..., n)`` gathers from z with arbitrary leading batch dims."""
-        R = self.num_rows
-        K0 = self.t1_cols.shape[1]
-        vi = take(self.t1_cols.reshape(-1))
-        vi = vi.reshape(vi.shape[:-1] + (R, K0))
-        acc = (vi * self.t1_coef[..., :, :]).sum(axis=-1)
-
-        if self.t2_cols is not None:
-            n2, K1 = self.t2_cols.shape
-            v2 = take(self.t2_cols.reshape(-1))
-            v2 = v2.reshape(v2.shape[:-1] + (n2, K1))
-            s2 = (v2 * self.t2_coef[..., :, :]).sum(axis=-1)
-            pad = jnp.zeros(s2.shape[:-1] + (1,), jnp.int32)
-            acc = acc + jnp.concatenate([s2, pad], axis=-1)[..., self.t2_inv]
-
-        if self.g_cols is not None:
-            ng, Kg = self.g_cols.shape
-            vg = take(self.g_cols.reshape(-1))
-            vg = vg.reshape(vg.shape[:-1] + (ng, Kg))
-            gm = mont_mul(vg)
-            sg = gm.sum(axis=-1)
-            pad = jnp.zeros(sg.shape[:-1] + (1,), jnp.int32)
-            acc = acc + jnp.concatenate([sg, pad], axis=-1)[..., self.g_inv]
-        return acc
+    @property
+    def prog(self):
+        """Program arrays as a pytree.  ALWAYS pass this as a jit
+        ARGUMENT, never close over it: embedded as HLO constants the
+        multi-million-element index arrays explode XLA compile time."""
+        return (self.t1_cols, self.t1_coef, self.t2_cols, self.t2_coef,
+                self.t2_inv, self.g_cols, self.g_vals, self.g_inv)
 
     def multiply_vec(self, z: jnp.ndarray) -> jnp.ndarray:
         """(NL, num_cols) -> (NL, num_rows), values in Montgomery form."""
-        ops = self.ops
-        acc = self._accumulate(
-            lambda idx: jnp.take(z, idx, axis=1),
-            lambda vg: ops.mont_mul(vg, self.g_vals),
-        )
-        return _reduce_lazy(ops, acc)
+        return spmv_apply(self.ops, self.prog, z)
 
     def multiply_vec_batched(self, z: jnp.ndarray) -> jnp.ndarray:
         """(NL, I, num_cols) -> (NL, I, num_rows): the whole instance
         batch in one gather+reduce sweep (reference multiply_vec_batched,
         sparse.rs:237-302 — rayon sub-batches become a device axis)."""
-        ops = self.ops
-        acc = self._accumulate(
-            lambda idx: jnp.take(z, idx, axis=2),
-            lambda vg: ops.mont_mul(vg, self.g_vals[:, None]),
-        )
-        return _reduce_lazy(ops, acc)
+        return spmv_apply_batched(self.ops, self.prog, z)
+
+
+def _spmv_accumulate(prog, take, mont_mul):
+    """Shared scatter-free accumulation over a SpMV ``prog`` pytree;
+    ``take(flat_idx) -> (..., n)`` gathers from z with arbitrary leading
+    batch dims."""
+    t1_cols, t1_coef, t2_cols, t2_coef, t2_inv, g_cols, g_vals, g_inv = prog
+    R, K0 = t1_cols.shape
+    vi = take(t1_cols.reshape(-1))
+    vi = vi.reshape(vi.shape[:-1] + (R, K0))
+    acc = (vi * t1_coef).sum(axis=-1)
+
+    if t2_cols is not None:
+        n2, K1 = t2_cols.shape
+        v2 = take(t2_cols.reshape(-1))
+        v2 = v2.reshape(v2.shape[:-1] + (n2, K1))
+        s2 = (v2 * t2_coef).sum(axis=-1)
+        pad = jnp.zeros(s2.shape[:-1] + (1,), jnp.int32)
+        acc = acc + jnp.concatenate([s2, pad], axis=-1)[..., t2_inv]
+
+    if g_cols is not None:
+        ng, Kg = g_cols.shape
+        vg = take(g_cols.reshape(-1))
+        vg = vg.reshape(vg.shape[:-1] + (ng, Kg))
+        gm = mont_mul(vg, g_vals)
+        sg = gm.sum(axis=-1)
+        pad = jnp.zeros(sg.shape[:-1] + (1,), jnp.int32)
+        acc = acc + jnp.concatenate([sg, pad], axis=-1)[..., g_inv]
+    return acc
+
+
+def spmv_apply(ops: FieldOps, prog, z: jnp.ndarray) -> jnp.ndarray:
+    """(NL, num_cols) -> (NL, num_rows) over a ``DeviceSpMV.prog``."""
+    acc = _spmv_accumulate(
+        prog,
+        lambda idx: jnp.take(z, idx, axis=1),
+        lambda vg, gv: ops.mont_mul(vg, gv),
+    )
+    return _reduce_lazy(ops, acc)
+
+
+def spmv_apply_batched(ops: FieldOps, prog, z: jnp.ndarray) -> jnp.ndarray:
+    """(NL, I, num_cols) -> (NL, I, num_rows)."""
+    acc = _spmv_accumulate(
+        prog,
+        lambda idx: jnp.take(z, idx, axis=2),
+        lambda vg, gv: ops.mont_mul(vg, gv[:, None]),
+    )
+    return _reduce_lazy(ops, acc)
 
 
 def _reduce_lazy(ops: FieldOps, t: jnp.ndarray) -> jnp.ndarray:
