@@ -128,14 +128,10 @@ class DeviceSpMV:
     ops: FieldOps
     num_rows: int
     num_cols: int
-    t1_cols: jnp.ndarray          # (num_rows, K0) int32
-    t1_coef: jnp.ndarray          # (num_rows, K0) int32
-    t2_cols: object               # (n2, K1) int32 or None
-    t2_coef: object               # (n2, K1) int32 or None
-    t2_inv: object                # (num_rows,) int32 into n2+1 (pad=0)
-    g_cols: object                # (ng, Kg) int32 or None
-    g_vals: object                # (NL, ng, Kg) Montgomery or None
-    g_inv: object                 # (num_rows,) int32 into ng+1
+    t1_cols: jnp.ndarray  # (num_rows, K0) int32
+    t1_coef: jnp.ndarray  # (num_rows, K0) int32
+    t2: list              # int-overflow buckets [(cols, coefs, inv), ...]
+    gen: list             # general-coeff buckets [(cols, vals, inv), ...]
 
     K0_CAP = 8
 
@@ -178,43 +174,55 @@ class DeviceSpMV:
                 over[row] = ents[K0:]
 
         def compact(by_row: dict, with_vals: bool):
-            """rows-with-entries ELL + inverse map (pad slot = last)."""
-            if not by_row:
-                return None, None, None
-            rows = sorted(by_row)
-            n2 = len(rows)
-            K1 = max(len(by_row[r]) for r in rows)
-            cols = np.zeros((n2, K1), np.int32)
-            if with_vals:
-                vals_int = [[0] * K1 for _ in range(n2)]
-            else:
-                coefs = np.zeros((n2, K1), np.int32)
-            for i, r in enumerate(rows):
-                for j, (c, v) in enumerate(by_row[r]):
-                    cols[i, j] = c
-                    if with_vals:
-                        vals_int[i][j] = v
-                    else:
-                        coefs[i, j] = v
-            inv = np.full(num_rows, n2, np.int32)
-            inv[np.asarray(rows, np.int64)] = np.arange(n2, dtype=np.int32)
-            if with_vals:
-                flat = [v for row_v in vals_int for v in row_v]
-                vals = jnp.asarray(
-                    ints_to_limbs_np(flat, m.field, mont=True)
-                ).reshape(NL, n2, K1)
-                return jnp.asarray(cols), vals, jnp.asarray(inv)
-            return jnp.asarray(cols), jnp.asarray(coefs), jnp.asarray(inv)
+            """Width-bucketed compact ELL tiers + inverse maps.
 
-        t2_cols, t2_coef, t2_inv = compact(over, with_vals=False)
-        g_cols, g_vals, g_inv = compact(gen_by_row, with_vals=True)
+            Rows are grouped by next-pow2 of their entry count, so pad
+            waste is < 2x even with skewed widths (a single max-width
+            block would cost n_rows * max_width slots — hundreds of
+            millions for the transpose matrices' general streams).
+            Returns a list of (cols, coefs_or_vals, inv) buckets."""
+            if not by_row:
+                return []
+            buckets: dict[int, list] = {}
+            for r in sorted(by_row):
+                w = len(by_row[r])
+                K1 = 1 << max(w - 1, 0).bit_length()
+                buckets.setdefault(K1, []).append(r)
+            out = []
+            for K1, rows in buckets.items():
+                n2 = len(rows)
+                cols = np.zeros((n2, K1), np.int32)
+                if with_vals:
+                    flat = [0] * (n2 * K1)
+                else:
+                    coefs = np.zeros((n2, K1), np.int32)
+                for i, r in enumerate(rows):
+                    for j, (c, v) in enumerate(by_row[r]):
+                        cols[i, j] = c
+                        if with_vals:
+                            flat[i * K1 + j] = v
+                        else:
+                            coefs[i, j] = v
+                inv = np.full(num_rows, n2, np.int32)
+                inv[np.asarray(rows, np.int64)] = np.arange(n2, dtype=np.int32)
+                if with_vals:
+                    vals = jnp.asarray(
+                        ints_to_limbs_np(flat, m.field, mont=True)
+                    ).reshape(NL, n2, K1)
+                    out.append((jnp.asarray(cols), vals, jnp.asarray(inv)))
+                else:
+                    out.append((jnp.asarray(cols), jnp.asarray(coefs),
+                                jnp.asarray(inv)))
+            return out
+
+        t2 = compact(over, with_vals=False)
+        gen = compact(gen_by_row, with_vals=True)
 
         hi = m.cols if col_max is None else col_max
         return cls(
             ops=ops, num_rows=num_rows, num_cols=hi - col_min,
             t1_cols=jnp.asarray(t1c), t1_coef=jnp.asarray(t1k),
-            t2_cols=t2_cols, t2_coef=t2_coef, t2_inv=t2_inv,
-            g_cols=g_cols, g_vals=g_vals, g_inv=g_inv,
+            t2=t2, gen=gen,
         )
 
     @staticmethod
@@ -249,8 +257,7 @@ class DeviceSpMV:
         """Program arrays as a pytree.  ALWAYS pass this as a jit
         ARGUMENT, never close over it: embedded as HLO constants the
         multi-million-element index arrays explode XLA compile time."""
-        return (self.t1_cols, self.t1_coef, self.t2_cols, self.t2_coef,
-                self.t2_inv, self.g_cols, self.g_vals, self.g_inv)
+        return (self.t1_cols, self.t1_coef, self.t2, self.gen)
 
     def multiply_vec(self, z: jnp.ndarray) -> jnp.ndarray:
         """(NL, num_cols) -> (NL, num_rows), values in Montgomery form."""
@@ -267,28 +274,28 @@ def _spmv_accumulate(prog, take, mont_mul):
     """Shared scatter-free accumulation over a SpMV ``prog`` pytree;
     ``take(flat_idx) -> (..., n)`` gathers from z with arbitrary leading
     batch dims."""
-    t1_cols, t1_coef, t2_cols, t2_coef, t2_inv, g_cols, g_vals, g_inv = prog
+    t1_cols, t1_coef, t2, gen = prog
     R, K0 = t1_cols.shape
     vi = take(t1_cols.reshape(-1))
     vi = vi.reshape(vi.shape[:-1] + (R, K0))
     acc = (vi * t1_coef).sum(axis=-1)
 
-    if t2_cols is not None:
-        n2, K1 = t2_cols.shape
-        v2 = take(t2_cols.reshape(-1))
+    for cols, coefs, inv in t2:
+        n2, K1 = cols.shape
+        v2 = take(cols.reshape(-1))
         v2 = v2.reshape(v2.shape[:-1] + (n2, K1))
-        s2 = (v2 * t2_coef).sum(axis=-1)
+        s2 = (v2 * coefs).sum(axis=-1)
         pad = jnp.zeros(s2.shape[:-1] + (1,), jnp.int32)
-        acc = acc + jnp.concatenate([s2, pad], axis=-1)[..., t2_inv]
+        acc = acc + jnp.concatenate([s2, pad], axis=-1)[..., inv]
 
-    if g_cols is not None:
-        ng, Kg = g_cols.shape
-        vg = take(g_cols.reshape(-1))
+    for cols, vals, inv in gen:
+        ng, Kg = cols.shape
+        vg = take(cols.reshape(-1))
         vg = vg.reshape(vg.shape[:-1] + (ng, Kg))
-        gm = mont_mul(vg, g_vals)
+        gm = mont_mul(vg, vals)
         sg = gm.sum(axis=-1)
         pad = jnp.zeros(sg.shape[:-1] + (1,), jnp.int32)
-        acc = acc + jnp.concatenate([sg, pad], axis=-1)[..., g_inv]
+        acc = acc + jnp.concatenate([sg, pad], axis=-1)[..., inv]
     return acc
 
 
