@@ -24,7 +24,12 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..field.jnp_ops import NL, FieldOps
 from ..utils.jitcache import cached_jit
-from ..sumcheck.prove import absorb_unipoly, from_evals4_dev, unipoly_eval_dev
+from ..sumcheck.prove import (
+    absorb_unipoly,
+    from_evals3_dev,
+    from_evals4_dev,
+    unipoly_eval_dev,
+)
 from ..transcript.device import DeviceTranscript
 from .mesh import DATA_AXIS
 
@@ -149,3 +154,113 @@ class ShardedSumcheckCubic:
             r_out.append(r)
             n = half
         return (eq, A, Bp, C), coeffs_out, r_out, claim
+
+
+class ShardedSumcheckQuad:
+    """prove_quad (inner sum-check) with the hypercube axis sharded.
+
+    Same transcript bytes as sumcheck.prove.SumcheckProverQuad: the two
+    BDDT sums (t0, t_inf) are computed as local delayed-reduction column
+    sums psum'd over the mesh, the round squeeze and claim update run
+    replicated, and the bind stays shard-local (the [lo | hi] halves are
+    passed as separate sharded arrays so the split never crosses a
+    shard boundary)."""
+
+    def __init__(self, ops: FieldOps, mesh: Mesh):
+        self.ops = ops
+        self.mesh = mesh
+
+    _partial_cols = ShardedSumcheckCubic._partial_cols
+
+    @functools.lru_cache(maxsize=None)
+    def _step(self, n: int):
+        ops = self.ops
+        mesh = self.mesh
+        spec = P(None, DATA_AXIS)
+
+        def local_evals(A_l, A_h, B_l, B_h):
+            t0 = self._partial_cols(A_l, B_l)
+            t_inf = self._partial_cols(ops.sub(A_h, A_l), ops.sub(B_h, B_l))
+            return jax.lax.psum(jnp.stack([t0, t_inf]), DATA_AXIS)
+
+        def step(A_l, A_h, B_l, B_h, claim, tstate, t_round):
+            cols2 = shard_map(
+                local_evals, mesh=mesh,
+                in_specs=(spec,) * 4, out_specs=P(),
+            )(A_l, A_h, B_l, B_h)
+            t0 = ops.acc_reduce(cols2[0])
+            t_inf = ops.acc_reduce(cols2[1])
+            e2 = ops.add(ops.sub(ops.double(claim),
+                                 ops.add(ops.double(t0), t0)),
+                         ops.double(t_inf))
+            e1 = ops.sub(claim, t0)
+            coeffs = from_evals3_dev(ops, t0, e1, e2)
+
+            td = DeviceTranscript(ops, state=tstate,
+                                  round=jnp.asarray(t_round, jnp.uint32))
+            absorb_unipoly(td, coeffs)
+            r = td.squeeze_mont(b"c")
+            new_claim = unipoly_eval_dev(ops, coeffs, r)
+
+            def bind_shard(lo, hi, r):
+                rb = jnp.broadcast_to(r[:, None], lo.shape)
+                return ops.add(lo, ops.mont_mul(rb, ops.sub(hi, lo)))
+
+            bind = shard_map(
+                bind_shard, mesh=mesh,
+                in_specs=(spec, spec, P()), out_specs=spec,
+            )
+            A_n = bind(A_l, A_h, r)
+            B_n = bind(B_l, B_h, r)
+            return A_n, B_n, new_claim, r, coeffs, td.state
+
+        return cached_jit(step, devices=list(self.mesh.devices.flat))
+
+    def prove(self, td: DeviceTranscript, A, Bp, claim):
+        """Sharded rounds while every chip has lanes; returns the
+        remainder arrays for a single-device tail prover."""
+        n = A.shape[1]
+        coeffs_out, r_out = [], []
+        n_dev = self.mesh.devices.size
+        while n > max(1, n_dev):
+            half = n // 2
+            step = self._step(n)
+            A, Bp, claim, r, coeffs, tstate = step(
+                A[:, :half], A[:, half:], Bp[:, :half], Bp[:, half:],
+                claim, td.state, int(td.round))
+            td.state = tstate
+            td.round += 1
+            coeffs_out.append(coeffs)
+            r_out.append(r)
+            n = half
+        return (A, Bp), coeffs_out, r_out, claim
+
+
+def commit_rows_sharded(mesh: Mesh, comb, scal_canon: jnp.ndarray):
+    """Hyrax row-commit MSM with the ROW axis sharded across the mesh.
+
+    The reference's per-row rayon commit loop (hyrax_pc.rs:230-300)
+    mapped onto chips (SURVEY.md section 5: rows sharded, per-row results
+    gathered once): each chip runs the fixed-base comb kernel
+    (ec/comb.py) over its row block against the replicated tables; rows
+    are independent so there is NO cross-chip point arithmetic — the
+    only collective is the output all-gather (R Jacobian points).
+
+    ``scal_canon``: (NL, R, C) canonical scalars.  Returns (NL, R)
+    Jacobian planes (replicated).
+    """
+    n_dev = mesh.devices.size
+    R = scal_canon.shape[1]
+    R_pad = -(-R // n_dev) * n_dev
+    if R_pad != R:  # zero scalars hit the identity table entries
+        pad = jnp.zeros((scal_canon.shape[0], R_pad - R, scal_canon.shape[2]),
+                        jnp.int32)
+        scal_canon = jnp.concatenate([scal_canon, pad], axis=1)
+    kernel = comb._rows_kernel(R_pad // n_dev, False)
+
+    out = shard_map(
+        kernel, mesh=mesh,
+        in_specs=(P(None, DATA_AXIS, None), P(), P(), P()),
+        out_specs=(P(None, DATA_AXIS),) * 3,
+    )(scal_canon, *comb._tab)
+    return tuple(c[:, :R] for c in out)

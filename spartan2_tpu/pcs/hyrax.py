@@ -294,9 +294,11 @@ class HyraxPCS:
     # evaluation argument
     # ------------------------------------------------------------------
     def _bind_rows_device(self, poly_mont: jnp.ndarray, L: list[int],
-                          r_len: int) -> list[int]:
+                          r_len: int) -> jnp.ndarray:
         """LZ[j] = sum_r L[r] * poly[r, j] (hyrax bind_with_delayed,
-        hyrax_pc.rs:38-54) with one wide reduction per column."""
+        hyrax_pc.rs:38-54) with one wide reduction per column.  Returns
+        the (NL, r_len) CANONICAL device plane (stays on device so the
+        following MSM needs no host round trip)."""
         R = len(L)
         Z = poly_mont.reshape(NL, R, r_len)
         Lm = jnp.asarray(ints_to_limbs_np(L, self.curve.scalar, mont=True))
@@ -311,13 +313,28 @@ class HyraxPCS:
                 t = t.reshape(t.shape[0], n // k, k, r_len).sum(axis=2)
                 t = fs._parallel_carry(t)
                 n //= k
-            return fs.acc_reduce(t[:, 0, :])
+            return fs.from_mont(fs.acc_reduce(t[:, 0, :]))
 
         if not hasattr(self, '_bind_kernel'):
             self._bind_kernel = {}
         bk = self._bind_kernel.setdefault((R, r_len), cached_jit(kernel))
-        out = bk(Lm, Z)
-        return limbs_to_ints(np.asarray(out), self.curve.scalar, mont=True)
+        return bk(Lm, Z)
+
+    def _msm_gens_blinded_dev(self, ck: HyraxCommitmentKey,
+                              v_canon_dev: jnp.ndarray, blind: int) -> Affine:
+        """Prover-side MSM over the column generators of a DEVICE canonical
+        scalar plane (NL, C), plus ``blind * h`` — all on device, ONE
+        affine pull.  Honest (prover-chosen) scalars, so the add tree may
+        run incomplete adds (comb.py safety note)."""
+        C = v_canon_dev.shape[1]
+        pts = ck.comb(NL * 12).rows_msm(v_canon_dev[:, None, :])
+        bl = ck.comb_h().rows_msm(jnp.asarray(
+            ints_to_limbs_np([blind], self.curve.scalar, mont=False)
+        )[:, :, None])
+        # the blinded total: h is independent of the column generators, so
+        # a collision with the honest MSM sum stays a dlog relation
+        total = self.dc.add(pts, bl)
+        return self.dc.to_affine_host(total)[0]
 
     def prove(self, ck: HyraxCommitmentKey, ck_eval: HyraxCommitmentKey,
               transcript: Transcript, comm: HyraxCommitment,
@@ -348,13 +365,17 @@ class HyraxPCS:
             L = eq_evals_host(scalar, point[:num_vars_rows])
             Rv = eq_evals_host(scalar, point[num_vars_rows:])
             with _span("hyrax_bind_LZ"):
-                LZ = self._bind_rows_device(poly_mont, L, len(Rv))
+                LZ_dev = self._bind_rows_device(poly_mont, L, len(Rv))
             r_LZ = sum(l * b for l, b in zip(L, blind.blind)) % p
             with _span("hyrax_msm_LZ"):
-                comm_LZ = self.curve.add(
-                    self._msm_gens(ck, LZ),
-                    self.curve.scalar_mul(r_LZ, ck.h),
-                )
+                # dispatch the device MSM first, then pull LZ for the IPA
+                # while the MSM executes (async dispatch overlap)
+                pts = ck.comb(NL * 12).rows_msm(LZ_dev[:, None, :])
+                bl = ck.comb_h().rows_msm(jnp.asarray(ints_to_limbs_np(
+                    [r_LZ], scalar, mont=False))[:, :, None])
+                total = self.dc.add(pts, bl)
+                LZ = limbs_to_ints(np.asarray(LZ_dev), scalar, mont=False)
+                comm_LZ = self.dc.to_affine_host(total)[0]
 
         ipa = self._ipa_prove(
             ck, ck_eval, comm_LZ, Rv, comm_eval.comm[0], LZ, r_LZ,
@@ -411,10 +432,15 @@ class HyraxPCS:
         r_delta = rand(p)
         r_beta = rand(p)
         with _span("ipa_msm_delta"):
-            delta = self.curve.add(
-                self._msm_gens(ck, d_vec),
-                self.curve.scalar_mul(r_delta, ck.h),
-            )
+            C = ck.num_cols
+            if len(d_vec) == C:
+                dv = jnp.asarray(ints_to_limbs_np(d_vec, scalar, mont=False))
+                delta = self._msm_gens_blinded_dev(ck, dv, r_delta)
+            else:
+                delta = self.curve.add(
+                    self._msm_gens(ck, d_vec),
+                    self.curve.scalar_mul(r_delta, ck.h),
+                )
         ip_bd = sum(x * y for x, y in zip(b_vec, d_vec)) % p
         beta = self.curve.add(
             self.curve.scalar_mul(ip_bd, ck_eval.ck[0]),

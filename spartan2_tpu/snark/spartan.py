@@ -395,9 +395,36 @@ class SpartanSNARK:
         )
         prover_quad = get_quad_prover(ops)
         with span("inner_sumcheck", rounds=num_rounds_y):
-            coeffs_inner, r_y_dev, finals_inner, _ = prover_quad.prove(
-                td, abc_b, z_b, claim_dev, num_rounds_y - 1
-            )
+            if mesh is not None and num_vars > mesh.devices.size:
+                from ..parallel.mesh import lane_sharding
+                from ..parallel.sumcheck_shard import ShardedSumcheckQuad
+
+                import jax
+
+                from ..parallel.mesh import replicated
+
+                sh = lane_sharding(mesh)
+                abc_b = jax.device_put(abc_b, sh)
+                z_b = jax.device_put(z_b, sh)
+                rep = replicated(mesh)
+                claim_dev = jax.device_put(claim_dev, rep)
+                td.state = jax.device_put(td.state, rep)
+                sharded_q = ShardedSumcheckQuad(ops, mesh)
+                (abc_b, z_b), coeffs_shq, r_shq, claim_dev = (
+                    sharded_q.prove(td, abc_b, z_b, claim_dev))
+                dev0 = jax.devices()[0]
+                abc_b, z_b, claim_dev = (
+                    jax.device_put(x, dev0) for x in (abc_b, z_b, claim_dev))
+                td.state = jax.device_put(td.state, dev0)
+                coeffs_inner, r_y_dev, finals_inner, _ = prover_quad.prove(
+                    td, abc_b, z_b, claim_dev,
+                    num_rounds_y - 1 - len(r_shq))
+                coeffs_inner = coeffs_shq + coeffs_inner
+                r_y_dev = r_shq + list(r_y_dev)
+            else:
+                coeffs_inner, r_y_dev, finals_inner, _ = prover_quad.prove(
+                    td, abc_b, z_b, claim_dev, num_rounds_y - 1
+                )
         # Batched host pulls: one transfer per group instead of per round.
         with span("tail_sync_pull"):
          state_np, outer_arr, inner_arr, tail_arr = jax.device_get((

@@ -55,6 +55,21 @@ mesh = make_mesh(8)
 proof, _ = SpartanSNARK.prove(pk, circuit, prep, rng=det(2), mesh=mesh)
 assert SpartanSNARK.verify(proof, vk) == circuit.public_values()
 print("MESH_PROVE_OK")
+
+# row-sharded Hyrax commit == single-device comb MSM
+import numpy as np
+import jax.numpy as jnp
+from spartan2_tpu.parallel.sumcheck_shard import commit_rows_sharded
+
+ck = pk.ck
+comb = ck.comb(64)
+rng = np.random.default_rng(3)
+scal = jnp.asarray(rng.integers(0, 50, (22, 16, ck.num_cols), dtype=np.int32))
+scal = jnp.where(jnp.arange(22)[:, None, None] == 0, scal, 0)  # small scalars
+ref = engine.pcs.dc.to_affine_host(comb.rows_msm(scal))
+got = engine.pcs.dc.to_affine_host(commit_rows_sharded(mesh, comb, scal))
+assert ref == got, "sharded commit mismatch"
+print("MESH_COMMIT_OK")
 """
 
 
@@ -70,3 +85,4 @@ def test_mesh_sharded_prove():
     res = subprocess.run([sys.executable, "-c", SCRIPT], env=env,
                          capture_output=True, text=True, timeout=3600)
     assert "MESH_PROVE_OK" in res.stdout, res.stderr[-3000:]
+    assert "MESH_COMMIT_OK" in res.stdout, res.stderr[-3000:]

@@ -63,3 +63,47 @@ def test_sha256_snark_end_to_end():
     prep = SpartanSNARK.prep_prove(pk, circuit, is_small=True, rng=det(1))
     proof, _ = SpartanSNARK.prove(pk, circuit, prep, is_small=True, rng=det(2))
     assert SpartanSNARK.verify(proof, vk) == circuit.public_values()
+
+
+@pytest.mark.skipif(not os.environ.get("SPARTAN2_RUN_SLOW"),
+                    reason="slow: ZK SNARK over SHA-256 (set SPARTAN2_RUN_SLOW=1)")
+def test_sha256_spartan_zk_end_to_end():
+    """Realistic-scale ZK prove (reference spartan_zk.rs over the bench
+    circuit shape): device ZK sum-checks + verifier-circuit rounds."""
+    import random
+
+    from spartan2_tpu.provider.engines import get_engine
+    from spartan2_tpu.snark.spartan_zk import SpartanZkSNARK
+
+    det = lambda seed: (lambda q, r=random.Random(seed).randrange: r(q))
+    engine = get_engine("PallasHyraxEngine")
+    circuit = Sha256Circuit(b"spartan2")
+    pk, vk = SpartanZkSNARK.setup(engine, circuit, width=2048)
+    prep = SpartanZkSNARK.prep_prove(pk, circuit, is_small=True, rng=det(1))
+    proof, _ = SpartanZkSNARK.prove(pk, circuit, prep, is_small=True,
+                                    rng=det(2))
+    assert SpartanZkSNARK.verify(proof, vk) == circuit.public_values()
+
+
+@pytest.mark.skipif(not os.environ.get("SPARTAN2_RUN_SLOW"),
+                    reason="slow: NeutronNova over SHA-256 (set SPARTAN2_RUN_SLOW=1)")
+def test_sha256_neutronnova_end_to_end():
+    """Batch folding over SHA-256 compression steps (the reference's NN
+    bench shape at reduced N, benches/sha256_neutronnova.rs:37-45)."""
+    import random
+
+    from spartan2_tpu.provider.engines import get_engine
+    from spartan2_tpu.snark.neutronnova import NeutronNovaZkSNARK
+
+    det = lambda seed: (lambda q, r=random.Random(seed).randrange: r(q))
+    engine = get_engine("PallasHyraxEngine")
+    n_steps = 2
+    step_circuits = [Sha256Circuit(bytes([i] * 55)) for i in range(n_steps)]
+    core = Sha256Circuit(bytes(55))
+    pk, vk = NeutronNovaZkSNARK.setup(engine, step_circuits[0], core, n_steps,
+                                      width=2048)
+    prep = NeutronNovaZkSNARK.prep_prove(pk, step_circuits, core,
+                                         is_small=True, rng=det(1))
+    proof, _ = NeutronNovaZkSNARK.prove(pk, step_circuits, core, prep,
+                                        is_small=True, rng=det(2))
+    NeutronNovaZkSNARK.verify(proof, vk, n_steps)
