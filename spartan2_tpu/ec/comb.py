@@ -8,8 +8,10 @@ row MSM ``sum_j v[row, j] * G_j`` becomes:
 
     1. split every scalar into 6-bit digits (6 == LIMB_BITS/2, so a digit
        is a shift+mask of one limb plane — no cross-limb carries),
-    2. gather precomputed points T[w][d][j] = (d << 6w) * G_j,
-    3. one log-depth incomplete-add tree over the (window x column) axis.
+    2. gather precomputed points T[w][d][j] = (d << 6w) * G_j, one
+       window at a time inside a fori_loop (bounded HLO + working set),
+    3. reduce the column axis with DeviceCurve.lane_sum (sequential
+       accumulate + small tail tree).
 
 Per row this costs ``n_win * C`` point additions instead of the ladder's
 ``nbits * C`` doubles+adds — ~12x fewer point ops for 64-bit scalars.
@@ -116,31 +118,29 @@ class FixedBaseComb:
     def _rows_kernel(self, R: int, complete: bool):
         dc = self.dc
         n_win, C = self.n_win, self.C
-        lanes = n_win * C
-        m = 1 << (lanes - 1).bit_length()
         addf = dc.add if complete else dc.add_incomplete
 
         def kernel(scal, Tx, Ty, Tz):
             # scal: (NL, R, C) canonical
             d = self._digits(scal)  # (n_win, R, C)
-            w_ix = jnp.arange(n_win, dtype=jnp.int32)[:, None, None]
-            col = jnp.arange(C, dtype=jnp.int32)[None, None, :]
-            idx = (w_ix * DIGITS + d) * C + col  # (n_win, R, C)
-            idx = jnp.transpose(idx, (1, 0, 2)).reshape(R, lanes)
-            P = tuple(jnp.take(T, idx, axis=1) for T in (Tx, Ty, Tz))
-            n = lanes
-            if m != n:
-                inf = dc.infinity((R, m - n))
-                P = tuple(jnp.concatenate([c, i], axis=2)
-                          for c, i in zip(P, inf))
-                n = m
-            while n > 1:
-                half = n // 2
-                lo = tuple(c[:, :, :half] for c in P)
-                hi = tuple(c[:, :, half:] for c in P)
-                P = addf(lo, hi)
-                n = half
-            return tuple(c[:, :, 0] for c in P)
+            col = jnp.arange(C, dtype=jnp.int32)[None, :]
+
+            # Accumulate windows sequentially (fori_loop keeps ONE add
+            # body + ONE table gather in HLO, and only an (R, C) point
+            # slab live at a time).  Incomplete-add safety within a
+            # lane: acc holds sum_{w<k} d_w 2^(6w) G_j, the addend is
+            # d_k 2^(6k) G_j; integer magnitudes force acc < 2^(6k) <=
+            # addend, so acc == +-addend needs a mod-q wrap — impossible
+            # for small-width scalars, negligible for honest full-width
+            # ones (complete=True covers adversarial inputs).
+            def win_body(w, acc):
+                idx = (w * DIGITS + d[w]) * C + col  # (R, C)
+                P = tuple(jnp.take(T, idx, axis=1) for T in (Tx, Ty, Tz))
+                return addf(acc, P)
+
+            acc = jax.lax.fori_loop(0, n_win, win_body, dc.infinity((R, C)))
+            acc = dc.lane_sum(acc, complete)
+            return tuple(c[:, :, 0] for c in acc)
 
         return kernel
 
@@ -158,7 +158,8 @@ class FixedBaseComb:
         """
         R = scal_canon.shape[1]
         # chunk the row axis to bound the gathered-points working set
-        max_rows = max(1, (1 << 21) // (self.n_win * self.C))
+        # (one (R, C) point slab per window iteration)
+        max_rows = max(1, (1 << 21) // self.C)
         if R <= max_rows:
             return self._rows_jit(R, complete)(scal_canon, *self._tab)
         n_chunks = -(-R // max_rows)

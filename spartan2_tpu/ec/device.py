@@ -247,21 +247,53 @@ class DeviceCurve:
     # ------------------------------------------------------------------
     # reductions and MSM
     # ------------------------------------------------------------------
-    def tree_sum(self, P: Point, complete: bool = False) -> Point:
-        """Sum a (NL, n) batch of points -> (NL, 1); n power of two.
+    # Lanes handled by one unrolled reduction tree.  Above this, lane
+    # sums switch to a fori_loop sequential accumulate over chunks: an
+    # unrolled tree of L levels emits L copies of the (large) add body
+    # into HLO, and the 22-limb add bodies are big enough that deep
+    # trees produced multi-GB executables — the remote TPU compiler then
+    # spent ~30 min just serializing one (PROFILE.md round 2).  The
+    # loop+tail-tree form does the same m-1 total adds with only 2 add
+    # bodies in HLO.
+    TREE_LANES = 256
 
-        Default uses incomplete adds (see add_incomplete safety note);
-        pass complete=True when summands may coincide by construction.
+    def lane_sum(self, P: Point, complete: bool = False) -> Point:
+        """Sum points over the LAST lane axis: (..., n) -> (..., 1).
+
+        Default uses incomplete adds (see add_incomplete safety note:
+        partial sums are disjoint-subset sums, so a collision implies a
+        dlog relation); pass complete=True when summands may coincide by
+        construction (adversarial/verifier-side inputs).
         """
         addf = self.add if complete else self.add_incomplete
-        n = P[0].shape[1]
+        n = P[0].shape[-1]
+        m = 1 << max(n - 1, 0).bit_length()
+        if m != n:
+            inf = self.infinity(P[0].shape[1:-1] + (m - n,))
+            P = tuple(jnp.concatenate([c, i], axis=-1)
+                      for c, i in zip(P, inf))
+            n = m
+        if n > self.TREE_LANES:
+            W = n // self.TREE_LANES
+            Pw = tuple(c.reshape(c.shape[:-1] + (W, self.TREE_LANES))
+                       for c in P)
+
+            def body(i, acc):
+                return addf(acc, tuple(c[..., i, :] for c in Pw))
+
+            P = jax.lax.fori_loop(
+                1, W, body, tuple(c[..., 0, :] for c in Pw))
+            n = self.TREE_LANES
         while n > 1:
             half = n // 2
-            lo = tuple(c[:, :half] for c in P)
-            hi = tuple(c[:, half:] for c in P)
-            P = addf(lo, hi)
+            P = addf(tuple(c[..., :half] for c in P),
+                     tuple(c[..., half:] for c in P))
             n = half
         return P
+
+    def tree_sum(self, P: Point, complete: bool = False) -> Point:
+        """Sum a (NL, n) batch of points -> (NL, 1); n power of two."""
+        return self.lane_sum(P, complete)
 
     def _pad_pow2(self, P: Point) -> Point:
         n = P[0].shape[1]
@@ -330,19 +362,7 @@ class DeviceCurve:
                 return self._sel(bit == 1, added, acc)
 
             acc = jax.lax.fori_loop(0, nbits, body, acc)
-            addf = self.add if complete else self.add_incomplete
-            n = I
-            m = 1 << (n - 1).bit_length()
-            if m != n:
-                inf = self.infinity((R, m - n))
-                acc = tuple(jnp.concatenate([c, i], axis=2)
-                            for c, i in zip(acc, inf))
-                n = m
-            while n > 1:
-                half = n // 2
-                acc = addf(tuple(c[:, :, :half] for c in acc),
-                           tuple(c[:, :, half:] for c in acc))
-                n = half
+            acc = self.lane_sum(acc, complete)
             return tuple(c[:, :, 0] for c in acc)
 
         return cached_jit(f)

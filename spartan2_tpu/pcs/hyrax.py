@@ -172,19 +172,7 @@ class HyraxPCS:
                     return dc._sel(bit == 1, added, acc)
 
                 acc = jax.lax.fori_loop(0, nbits, body, acc)
-                # tree-reduce the column axis
-                n = C
-                m = 1 << (n - 1).bit_length()
-                if m != n:
-                    inf = dc.infinity((R, m - n))
-                    acc = tuple(jnp.concatenate([c, i], axis=2) for c, i in zip(acc, inf))
-                    n = m
-                while n > 1:
-                    half = n // 2
-                    lo = tuple(c[:, :, :half] for c in acc)
-                    hi = tuple(c[:, :, half:] for c in acc)
-                    acc = dc.add_incomplete(lo, hi)
-                    n = half
+                acc = dc.lane_sum(acc)  # reduce the column axis
                 return tuple(c[:, :, 0] for c in acc)
 
             self._row_kernel_cache[key] = cached_jit(kernel)

@@ -22,7 +22,9 @@ from __future__ import annotations
 import hashlib
 import os
 import pickle
+import sys
 import threading
+import time
 
 import jax
 
@@ -32,6 +34,16 @@ _CACHE_DIR = os.environ.get(
 )
 _DISABLED = bool(os.environ.get("SPARTAN2_TPU_NO_CACHE"))
 _LOCK = threading.Lock()
+_LOG = bool(os.environ.get("SPARTAN2_TPU_TRACE") or os.environ.get("SPARTAN2_JIT_LOG"))
+# Executables on this backend are ~200x the lowered-HLO text size
+# (measured: 1.1 MB HLO -> 155 MB executable); past ~8 MB of HLO the
+# serialize alone runs minutes-to-hours, so don't persist those.
+_MAX_CACHE_HLO = int(os.environ.get("SPARTAN2_TPU_CACHE_MAX_HLO_MB", "8")) * 1_000_000
+
+
+def _log(msg: str) -> None:
+    if _LOG:
+        print(f"[jitcache] {msg}", file=sys.stderr, flush=True)
 
 
 def _backend_fingerprint() -> str:
@@ -71,29 +83,46 @@ class _CachedFn:
         return exe(*args)
 
     def _load_or_compile(self, *args):
+        name = getattr(self._jitted, "__wrapped__", None)
+        name = getattr(name, "__name__", "fn")
+        t0 = time.time()
         lowered = self._jitted.lower(*args)
+        hlo = lowered.as_text()
+        _log(f"{name}: lowered {len(hlo) / 1e6:.1f} MB HLO in {time.time() - t0:.1f}s")
         if _DISABLED:
             return lowered.compile()
-        key = hashlib.sha256(
-            (lowered.as_text() + _backend_fingerprint()).encode()
-        ).hexdigest()
+        key = hashlib.sha256((hlo + _backend_fingerprint()).encode()).hexdigest()
         path = os.path.join(_CACHE_DIR, f"sp2-{key}.bin")
         if os.path.exists(path):
             try:
                 from jax.experimental.serialize_executable import deserialize_and_load
 
+                t0 = time.time()
                 with open(path, "rb") as f:
                     serialized, in_tree, out_tree = pickle.load(f)
                 # single-device programs pin to device 0 even when the
                 # platform exposes a virtual mesh; sharded programs pass
                 # their mesh devices via cached_jit(devices=...)
                 devs = self._devices if self._devices is not None else jax.devices()[:1]
-                return deserialize_and_load(
+                exe = deserialize_and_load(
                     serialized, in_tree, out_tree, execution_devices=list(devs),
                 )
+                _log(f"{name}: loaded {os.path.getsize(path) / 1e6:.0f} MB "
+                     f"cached exe in {time.time() - t0:.1f}s")
+                return exe
             except Exception:
                 pass  # stale/incompatible entry: fall through to recompile
+        t0 = time.time()
         compiled = lowered.compile()
+        t1 = time.time()
+        _log(f"{name}: compiled in {t1 - t0:.1f}s")
+        if len(hlo) > _MAX_CACHE_HLO:
+            # executable.serialize() on the tunneled backend has been
+            # observed taking 30+ min on multi-GB executables; very
+            # large HLO is the only pre-serialize size signal we have
+            _log(f"{name}: skipping cache write ({len(hlo) / 1e6:.0f} MB "
+                 f"HLO > {_MAX_CACHE_HLO / 1e6:.0f} MB cap)")
+            return compiled
         try:
             from jax.experimental.serialize_executable import serialize
 
@@ -103,6 +132,8 @@ class _CachedFn:
             with open(tmp, "wb") as f:
                 f.write(payload)
             os.replace(tmp, path)
+            _log(f"{name}: serialized {len(payload) / 1e6:.0f} MB "
+                 f"in {time.time() - t1:.1f}s")
         except Exception:
             pass  # caching is best-effort
         return compiled
