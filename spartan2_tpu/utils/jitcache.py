@@ -28,10 +28,17 @@ import time
 
 import jax
 
+# Default cache location is INSIDE the repo tree (gitignored): the repo
+# persists across host resets while ~/.cache has been observed wiped,
+# which forces an hours-long cold recompile of every kernel shape.  The
+# legacy home-dir location is still read as a fallback.
 _CACHE_DIR = os.environ.get(
     "SPARTAN2_TPU_CACHE_DIR",
-    os.path.join(os.path.expanduser("~"), ".cache", "spartan2_tpu", "jax_cache"),
+    os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".jitcache"),
 )
+_LEGACY_CACHE_DIR = os.path.join(
+    os.path.expanduser("~"), ".cache", "spartan2_tpu", "jax_cache")
 _DISABLED = bool(os.environ.get("SPARTAN2_TPU_NO_CACHE"))
 _LOCK = threading.Lock()
 _LOG = bool(os.environ.get("SPARTAN2_TPU_TRACE") or os.environ.get("SPARTAN2_JIT_LOG"))
@@ -93,6 +100,10 @@ class _CachedFn:
             return lowered.compile()
         key = hashlib.sha256((hlo + _backend_fingerprint()).encode()).hexdigest()
         path = os.path.join(_CACHE_DIR, f"sp2-{key}.bin")
+        if not os.path.exists(path):
+            legacy = os.path.join(_LEGACY_CACHE_DIR, f"sp2-{key}.bin")
+            if os.path.exists(legacy):
+                path = legacy
         if os.path.exists(path):
             try:
                 from jax.experimental.serialize_executable import deserialize_and_load
