@@ -387,7 +387,8 @@ class HyraxPCS:
         else:
             L = eq_evals_host(scalar, point[:num_vars_rows])
             Rv = eq_evals_host(scalar, point[num_vars_rows:])
-            comm_LZ = self._msm_auto(L, comm.comm)
+            # comm.comm is proof-supplied: complete adds required
+            comm_LZ = self._msm_auto(L, comm.comm, adversarial_points=True)
 
         self._ipa_verify(
             vk, ck_eval, comm_LZ, Rv, comm_eval.comm[0], arg.ipa, transcript
@@ -605,4 +606,5 @@ class HyraxPCS:
         base = self.curve.base
         Qx = jnp.asarray(ints_to_limbs_np([pt[0] for pt in points], base, mont=True))
         Qy = jnp.asarray(ints_to_limbs_np([pt[1] for pt in points], base, mont=True))
-        return self.dc.to_affine_host(self.dc.msm(sc, Qx, Qy))[0]
+        return self.dc.to_affine_host(
+            self.dc.msm(sc, Qx, Qy, complete_tree=adversarial_points))[0]

@@ -138,13 +138,28 @@ class _CachedFn:
             from jax.experimental.serialize_executable import serialize
 
             os.makedirs(_CACHE_DIR, exist_ok=True)
-            payload = pickle.dumps(serialize(compiled))
-            tmp = path + f".tmp{os.getpid()}"
-            with open(tmp, "wb") as f:
-                f.write(payload)
-            os.replace(tmp, path)
-            _log(f"{name}: serialized {len(payload) / 1e6:.0f} MB "
-                 f"in {time.time() - t1:.1f}s")
+
+            # executable.serialize() pulls the full executable (often
+            # hundreds of MB) back over the tunneled backend at ~1 MB/s;
+            # doing it inline serializes cold-start compiles.  Write the
+            # cache entry on a background (non-daemon) thread instead so
+            # the pull overlaps the NEXT kernel's remote compile; the
+            # atomic tmp+rename keeps readers safe, and non-daemon means
+            # the interpreter waits for in-flight writes at exit.
+            def _write(compiled=compiled, path=path, name=name, t1=t1):
+                try:
+                    payload = pickle.dumps(serialize(compiled))
+                    tmp = path + f".tmp{os.getpid()}"
+                    with open(tmp, "wb") as f:
+                        f.write(payload)
+                    os.replace(tmp, path)
+                    _log(f"{name}: serialized {len(payload) / 1e6:.0f} MB "
+                         f"in {time.time() - t1:.1f}s (background)")
+                except Exception:
+                    pass  # caching is best-effort
+
+            threading.Thread(target=_write, name=f"jitcache-{name}",
+                             daemon=False).start()
         except Exception:
             pass  # caching is best-effort
         return compiled
