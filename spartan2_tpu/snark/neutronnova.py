@@ -341,8 +341,16 @@ class NeutronNovaNIFS:
             return r_b
 
         nifs_dev = get_nifs_rounds(ops)
+        # small-value integer fast path for round 0 (the reference's i64
+        # NIFS staging, neutronnova_zk.rs:1550-1560): one whole-grid
+        # gate instead of per-entry zero-and-correct (field/small_value.py)
+        small = None
+        if len(rhos) > 0 and os.environ.get("SPARTAN2_NN_SMALL", "1") != "0":
+            planes, ok = nifs_dev.to_small(field, Az, Bz, Cz)
+            if ok:
+                small = planes
         r_bs, (AzF, BzF, CzF) = nifs_dev.run(field, Az, Bz, Cz, E_dev, rhos,
-                                             round_cb)
+                                             round_cb, small=small)
 
         t_out = state["T_cur"] * pow(state["acc_eq"], -1, p) % p
         vc.t_out_step = t_out
@@ -521,7 +529,11 @@ class NeutronNovaZkSNARK:
 
     @staticmethod
     def prove(pk: NeutronNovaProverKey, step_circuits, core_circuit,
-              prep: NeutronNovaPrep, is_small: bool = False, rng=None):
+              prep: NeutronNovaPrep, is_small: bool = False, rng=None,
+              mesh=None):
+        """With ``mesh`` (a jax.sharding.Mesh) the batched outer/inner ZK
+        sum-checks run lane-sharded across the mesh (parallel/
+        sumcheck_shard.ShardedZkSumcheck*), byte-identical messages."""
         engine = pk.engine
         field = engine.scalar
         p = field.modulus
@@ -641,7 +653,12 @@ class NeutronNovaZkSNARK:
             stack3 = tuple(
                 jnp.stack([s, c], axis=1)
                 for s, c in ((AzF, Az_c), (BzF, Bz_c), (CzF, Cz_c)))
-            r_x, finals_outer, tau_rx = get_zk_cubic(ops).prove(
+            if mesh is not None and stack3[0].shape[2] > mesh.devices.size:
+                from ..parallel.sumcheck_shard import ShardedZkSumcheckCubic
+                cubic = ShardedZkSumcheckCubic(ops, mesh)
+            else:
+                cubic = get_zk_cubic(ops)
+            r_x, finals_outer, tau_rx = cubic.prove(
                 field, [t_out, 0], E_dev, stack3, outer_challenge_dev)
             claims_s, claims_c = finals_outer
 
@@ -713,7 +730,12 @@ class NeutronNovaZkSNARK:
                                               inner_start + j, transcript,
                                               rng)[0]
 
-            r_y, finals_inner = get_zk_quad(ops).prove(
+            if mesh is not None and (1 << num_rounds_y) > mesh.devices.size:
+                from ..parallel.sumcheck_shard import ShardedZkSumcheckQuad
+                quad = ShardedZkSumcheckQuad(ops, mesh)
+            else:
+                quad = get_zk_quad(ops)
+            r_y, finals_inner = quad.prove(
                 field, [claim_inner_s, claim_inner_c],
                 (jnp.stack([ABC_s, ABC_c], axis=1),
                  jnp.stack([z_folded_dev, z_core_v_dev], axis=1)),

@@ -360,6 +360,74 @@ class NifsRoundsDevice:
 
         return cached_jit(step)
 
+    @functools.lru_cache(maxsize=None)
+    def _to_small(self, I: int, n: int):
+        """(NL,I,n) Montgomery A/B/C -> ((KS,I,n) signed planes x3, ok).
+
+        The conversion pays one from_mont per grid element; it buys a
+        round-0 kernel whose products are 6x6 integer convolutions
+        instead of full 22-limb Montgomery multiplies (the reference's
+        to_small_vec_or_zero staging, neutronnova_zk.rs:1550-1560)."""
+        ops = self.ops
+        from ..field.small_value import to_small_planes
+
+        def conv(A, B, C):
+            outs, ok = [], None
+            for M in (A, B, C):
+                s, o = to_small_planes(ops, M)
+                outs.append(s)
+                a = jnp.all(o)
+                ok = a if ok is None else jnp.logical_and(ok, a)
+            return outs[0], outs[1], outs[2], ok
+
+        return cached_jit(conv)
+
+    @functools.lru_cache(maxsize=None)
+    def _small_step(self, I: int, n: int):
+        """Round-0 (e0, quad) from small planes (prove_helper_small,
+        neutronnova_zk.rs:246-314, generalized to also emit e0 so the
+        small and Montgomery paths agree on ANY input, satisfied or not).
+
+        Inputs: As/Bs/Cs (KS, I, n) signed small planes; E (NL, n) and
+        w (NL, I/2) Montgomery.  Output is stack([e0, quad]) as PLAIN
+        field values (the two Montgomery weightings cancel both R
+        factors) — callers pull with mont=False."""
+        ops = self.ops
+        from ..field.small_value import offset_limbs_np, conv_cols
+
+        pc = ops._parallel_carry
+
+        def weighted(t, E, w):
+            # t: (C0, pairs, n) signed integer columns, |col| < 2^29
+            t = pc(pc(t))  # back to ~12-bit signed columns
+            u = conv_cols(E[:, None, :], t)
+            u = pc(pc(u))
+            m = u.shape[-1]
+            while m > 1:
+                k = min(m, 4096)
+                u = u.reshape(u.shape[:2] + (m // k, k)).sum(axis=-1)
+                u = pc(pc(u))
+                m //= k
+            u = u[..., 0]  # (C, pairs)
+            # make the signed total non-negative: |value| < p * 2^124 * n
+            # < 2^408 for n <= 2^28; add the smallest multiple-of-p above
+            offs = jnp.asarray(
+                offset_limbs_np(u.shape[0], 408, ops.p)[:, None])
+            inner = ops.acc_reduce(u + offs)  # (NL, pairs) plain value
+            return ops.sum_products(w, inner)  # plain value
+
+        def step(As, Bs, Cs, E, w):
+            Ae, Ao = As[:, 0::2], As[:, 1::2]
+            Be, Bo = Bs[:, 0::2], Bs[:, 1::2]
+            Ce = Cs[:, 0::2]
+            KS = As.shape[0]
+            t_e0 = conv_cols(Ae, Be).at[:KS].add(-Ce)
+            e0 = weighted(t_e0, E, w)
+            quad = weighted(conv_cols(Ao - Ae, Bo - Be), E, w)
+            return jnp.stack([e0, quad], axis=1)
+
+        return cached_jit(step)
+
     def _fold(self, arr, r):
         """(NL, I, n) -> (NL, I/2, n): even + r * (odd - even)."""
         ops = self.ops
@@ -392,10 +460,19 @@ class NifsRoundsDevice:
 
         return cached_jit(fold)
 
-    def run(self, spec, A, B, C, E, rhos: list[int], round_cb):
+    def to_small(self, spec, A, B, C):
+        """Try the small-plane conversion of the NIFS grid.  Returns
+        ((As, Bs, Cs), ok) — ok False means some entry exceeded the
+        2^72 window and the caller must use the Montgomery path."""
+        As, Bs, Cs, ok = self._to_small(A.shape[1], A.shape[2])(A, B, C)
+        return (As, Bs, Cs), bool(ok)
+
+    def run(self, spec, A, B, C, E, rhos: list[int], round_cb, small=None):
         """Run ell_b rounds.  ``round_cb(t, e0, quad) -> r_b`` performs
         the host finish_round algebra + VC round and returns the
-        challenge.  Returns (r_bs, (Az, Bz, Cz) folded (NL, n))."""
+        challenge.  ``small``: optional (As, Bs, Cs) small planes from
+        ``to_small`` — round 0 then runs the integer fast path
+        (neutronnova_zk.rs:779-800).  Returns (r_bs, folded (Az,Bz,Cz))."""
         ops = self.ops
         I = A.shape[1]
         n = A.shape[2]
@@ -409,9 +486,15 @@ class NifsRoundsDevice:
             w_host = [_suffix_weight(spec, t, ell_b, pair, rhos)
                       for pair in range(max(pairs, 1))]
             w = _up(spec, w_host)
-            step = self._step(A.shape[1], n, t > 0)
-            A, B, C, eq = step(A, B, C, E, w, r_dev)
-            e0, quad = limbs_to_ints(np.asarray(eq), spec)
+            if t == 0 and small is not None:
+                # integer fast path: A/B/C stay unfolded (round 0 never
+                # folds); the small kernel emits PLAIN field values
+                eq = self._small_step(I, n)(*small, E, w)
+                e0, quad = limbs_to_ints(np.asarray(eq), spec, mont=False)
+            else:
+                step = self._step(A.shape[1], n, t > 0)
+                A, B, C, eq = step(A, B, C, E, w, r_dev)
+                e0, quad = limbs_to_ints(np.asarray(eq), spec)
             r_b = round_cb(t, e0, quad)
             r_bs.append(r_b)
             r_dev = _up(spec, [r_b])[:, 0]
