@@ -236,6 +236,217 @@ class ShardedSumcheckQuad:
         return (A, Bp), coeffs_out, r_out, claim
 
 
+class ShardedZkSumcheckCubic:
+    """DeviceZkSumcheckCubic with the hypercube axis sharded (A8).
+
+    Same message flow as the unsharded engine (sumcheck/zk_device.py):
+    the per-round Fiat-Shamir challenge routes through the host
+    verifier-circuit commit, so each round is two sharded device calls —
+    one psum'd evaluation kernel, one shard-local bind — with the same
+    tiny (3 evals x K instances) pull in between.  Tail rounds below the
+    device count fall back to the unsharded engine with gathered arrays
+    (byte-identical messages either way; asserted by tests/test_mesh.py).
+    """
+
+    def __init__(self, ops: FieldOps, mesh: Mesh):
+        self.ops = ops
+        self.mesh = mesh
+
+    _partial_cols = ShardedSumcheckCubic._partial_cols
+
+    @functools.lru_cache(maxsize=None)
+    def _evals(self, n: int, K: int):
+        ops = self.ops
+        mesh = self.mesh
+        spec = P(None, None, DATA_AXIS)
+        spec_e = P(None, DATA_AXIS)
+
+        def local(E_l, E_h, A_l, A_h, B_l, B_h, C_l, C_h):
+            def eval_at(Ev, Av, Bv, Cv):
+                u = ops.sub(ops.mont_mul(Av, Bv), Cv)  # (NL, K, loc)
+                Eb = jnp.broadcast_to(Ev[:, None, :], u.shape)
+                return self._partial_cols(Eb, u)  # (C, K)
+
+            t0 = eval_at(E_l, A_l, B_l, C_l)
+            E_d, A_d = ops.sub(E_h, E_l), ops.sub(A_h, A_l)
+            B_d, C_d = ops.sub(B_h, B_l), ops.sub(C_h, C_l)
+            E2, A2 = ops.add(E_h, E_d), ops.add(A_h, A_d)
+            B2, C2 = ops.add(B_h, B_d), ops.add(C_h, C_d)
+            t2 = eval_at(E2, A2, B2, C2)
+            E3, A3 = ops.add(E2, E_d), ops.add(A2, A_d)
+            B3, C3 = ops.add(B2, B_d), ops.add(C2, C_d)
+            t3 = eval_at(E3, A3, B3, C3)
+            return jax.lax.psum(jnp.stack([t0, t2, t3]), DATA_AXIS)
+
+        def ev(E_l, E_h, A_l, A_h, B_l, B_h, C_l, C_h):
+            cols = shard_map(
+                local, mesh=mesh,
+                in_specs=(spec_e, spec_e) + (spec,) * 6, out_specs=P(),
+            )(E_l, E_h, A_l, A_h, B_l, B_h, C_l, C_h)
+            return jnp.stack([ops.acc_reduce(cols[i]) for i in range(3)],
+                             axis=2)  # (NL, K, 3)
+
+        return cached_jit(ev, devices=list(self.mesh.devices.flat))
+
+    @functools.lru_cache(maxsize=None)
+    def _bind(self, n: int, K: int):
+        ops = self.ops
+        mesh = self.mesh
+        spec = P(None, None, DATA_AXIS)
+        spec_e = P(None, DATA_AXIS)
+
+        def bind_shard(lo, hi, r):
+            rb = jnp.broadcast_to(
+                r.reshape((NL,) + (1,) * (lo.ndim - 1)), lo.shape)
+            return ops.add(lo, ops.mont_mul(rb, ops.sub(hi, lo)))
+
+        def b(E_l, E_h, A_l, A_h, B_l, B_h, C_l, C_h, r):
+            bind_e = shard_map(bind_shard, mesh=mesh,
+                               in_specs=(spec_e, spec_e, P()),
+                               out_specs=spec_e)
+            bind_k = shard_map(bind_shard, mesh=mesh,
+                               in_specs=(spec, spec, P()), out_specs=spec)
+            return (bind_e(E_l, E_h, r), bind_k(A_l, A_h, r),
+                    bind_k(B_l, B_h, r), bind_k(C_l, C_h, r))
+
+        return cached_jit(b, devices=list(self.mesh.devices.flat))
+
+    def prove(self, spec, claims: list[int], E, polys, challenge_fn):
+        """Drop-in for DeviceZkSumcheckCubic.prove (same signature minus
+        self.ops): arrays (NL, n) / (NL, K, n) sharded on the last axis."""
+        import numpy as np
+
+        from ..field.limbs import ints_to_limbs_np, limbs_to_ints
+        from ..polys.univariate import UniPoly
+        from ..sumcheck.zk_device import DeviceZkSumcheckCubic, get_zk_cubic
+
+        ops = self.ops
+        p = spec.modulus
+        A, B, C = polys
+        K, n = A.shape[1], A.shape[2]
+        es = [c % p for c in claims]
+        rs: list[int] = []
+        rnd = 0
+        n_dev = self.mesh.devices.size
+        while n > max(2, n_dev):
+            half = n // 2
+            parts = [E[:, :half], E[:, half:]]
+            for arr in (A, B, C):
+                parts.extend([arr[..., :half], arr[..., half:]])
+            evals = self._evals(n, K)(*parts)
+            ev = limbs_to_ints(np.asarray(evals).reshape(NL, -1), spec)
+            unis = []
+            for k in range(K):
+                t0, t2, t3 = ev[3 * k : 3 * k + 3]
+                unis.append(UniPoly.from_evals_deg3(
+                    spec, [t0, (es[k] - t0) % p, t2, t3]))
+            r = challenge_fn(rnd, unis)
+            rs.append(r)
+            es = [u.evaluate(r) for u in unis]
+            r_dev = jnp.asarray(ints_to_limbs_np([r], spec, mont=True))[:, 0]
+            E, A, B, C = self._bind(n, K)(*parts, r_dev)
+            rnd += 1
+            n = half
+        # gather the tail to a single device; continue with the unsharded
+        # engine (its round 0 does not bind — exactly the state we're in)
+        E, A, B, C = (jnp.asarray(np.asarray(x)) for x in (E, A, B, C))
+        done = rnd
+        rs_tail, finals, E_out = get_zk_cubic(ops).prove(
+            spec, es, E, (A, B, C),
+            lambda i, unis: challenge_fn(done + i, unis))
+        return rs + rs_tail, finals, E_out
+
+
+class ShardedZkSumcheckQuad:
+    """DeviceZkSumcheckQuad with the hypercube axis sharded: two
+    delayed-reduction sums (t0, t_inf) per instance psum'd per round,
+    host VC challenge in between, shard-local binds, unsharded tail."""
+
+    def __init__(self, ops: FieldOps, mesh: Mesh):
+        self.ops = ops
+        self.mesh = mesh
+
+    _partial_cols = ShardedSumcheckCubic._partial_cols
+
+    @functools.lru_cache(maxsize=None)
+    def _evals(self, n: int, K: int):
+        ops = self.ops
+        mesh = self.mesh
+        spec = P(None, None, DATA_AXIS)
+
+        def local(A_l, A_h, Z_l, Z_h):
+            t0 = self._partial_cols(A_l, Z_l)
+            t_inf = self._partial_cols(ops.sub(A_h, A_l), ops.sub(Z_h, Z_l))
+            return jax.lax.psum(jnp.stack([t0, t_inf]), DATA_AXIS)
+
+        def ev(A_l, A_h, Z_l, Z_h):
+            cols = shard_map(local, mesh=mesh, in_specs=(spec,) * 4,
+                             out_specs=P())(A_l, A_h, Z_l, Z_h)
+            return jnp.stack([ops.acc_reduce(cols[0]),
+                              ops.acc_reduce(cols[1])], axis=2)  # (NL, K, 2)
+
+        return cached_jit(ev, devices=list(self.mesh.devices.flat))
+
+    @functools.lru_cache(maxsize=None)
+    def _bind(self, n: int, K: int):
+        ops = self.ops
+        mesh = self.mesh
+        spec = P(None, None, DATA_AXIS)
+
+        def bind_shard(lo, hi, r):
+            rb = jnp.broadcast_to(r[:, None, None], lo.shape)
+            return ops.add(lo, ops.mont_mul(rb, ops.sub(hi, lo)))
+
+        def b(A_l, A_h, Z_l, Z_h, r):
+            bind = shard_map(bind_shard, mesh=mesh,
+                             in_specs=(spec, spec, P()), out_specs=spec)
+            return bind(A_l, A_h, r), bind(Z_l, Z_h, r)
+
+        return cached_jit(b, devices=list(self.mesh.devices.flat))
+
+    def prove(self, spec, claims: list[int], polys, num_rounds: int,
+              challenge_fn):
+        import numpy as np
+
+        from ..field.limbs import ints_to_limbs_np, limbs_to_ints
+        from ..polys.univariate import UniPoly
+        from ..sumcheck.zk_device import get_zk_quad
+
+        ops = self.ops
+        p = spec.modulus
+        A, Z = polys
+        K, n = A.shape[1], A.shape[2]
+        es = [c % p for c in claims]
+        rs: list[int] = []
+        rnd = 0
+        n_dev = self.mesh.devices.size
+        while n > max(2, n_dev) and rnd < num_rounds:
+            half = n // 2
+            parts = [A[..., :half], A[..., half:], Z[..., :half],
+                     Z[..., half:]]
+            evals = self._evals(n, K)(*parts)
+            ev = limbs_to_ints(np.asarray(evals).reshape(NL, -1), spec)
+            unis = []
+            for k in range(K):
+                t0, t_inf = ev[2 * k : 2 * k + 2]
+                e2 = (2 * es[k] - 3 * t0 + 2 * t_inf) % p
+                unis.append(UniPoly.from_evals_deg2(
+                    spec, [t0, (es[k] - t0) % p, e2]))
+            r = challenge_fn(rnd, unis)
+            rs.append(r)
+            es = [u.evaluate(r) for u in unis]
+            r_dev = jnp.asarray(ints_to_limbs_np([r], spec, mont=True))[:, 0]
+            A, Z = self._bind(n, K)(*parts, r_dev)
+            rnd += 1
+            n = half
+        A, Z = (jnp.asarray(np.asarray(x)) for x in (A, Z))
+        done = rnd
+        rs_tail, finals = get_zk_quad(ops).prove(
+            spec, es, (A, Z), num_rounds - done,
+            lambda i, unis: challenge_fn(done + i, unis))
+        return rs + rs_tail, finals
+
+
 def commit_rows_sharded(mesh: Mesh, comb, scal_canon: jnp.ndarray):
     """Hyrax row-commit MSM with the ROW axis sharded across the mesh.
 

@@ -73,16 +73,111 @@ print("MESH_COMMIT_OK")
 """
 
 
-@pytest.mark.skipif(not os.environ.get("SPARTAN2_RUN_MESH"),
-                    reason="slow: CPU-mesh prove (set SPARTAN2_RUN_MESH=1)")
-def test_mesh_sharded_prove():
+NN_SCRIPT = r"""
+import random
+from spartan2_tpu.frontend.constraint_system import Num, lc, ONE
+from spartan2_tpu.parallel.mesh import make_mesh
+from spartan2_tpu.provider.engines import get_engine
+from spartan2_tpu.snark.neutronnova import NeutronNovaZkSNARK
+from spartan2_tpu.utils.serde import neutronnova_proof_to_bytes
+
+
+class ChainStep:
+    '''x_{i+1} = x_i^2 chain, final value public; seed differs per step.'''
+
+    N = 62
+
+    def __init__(self, x0):
+        self.x0 = x0
+
+    def public_values(self):
+        p = get_engine("PallasHyraxEngine").scalar.modulus
+        x = self.x0
+        for _ in range(self.N):
+            x = x * x % p
+        return [x]
+
+    def shared(self, cs):
+        return []
+
+    def precommitted(self, cs, shared):
+        return []
+
+    def num_challenges(self):
+        return 0
+
+    def synthesize(self, cs, shared, precommitted, challenges):
+        x = Num.alloc(cs, self.x0)
+        for _ in range(self.N):
+            x = x.square(cs)
+        x.inputize(cs)
+
+
+class Core:
+    def public_values(self):
+        return [42]
+
+    def shared(self, cs):
+        return []
+
+    def precommitted(self, cs, shared):
+        return []
+
+    def num_challenges(self):
+        return 0
+
+    def synthesize(self, cs, shared, precommitted, challenges):
+        a = Num.alloc(cs, 6)
+        b = Num.alloc(cs, 7)
+        y = a.mul(cs, b)
+        y.inputize(cs)
+
+
+det = lambda seed: (lambda q, r=random.Random(seed).randrange: r(q))
+engine = get_engine("PallasHyraxEngine")
+steps = [ChainStep(3), ChainStep(5)]
+core = Core()
+pk, vk = NeutronNovaZkSNARK.setup(engine, steps[0], core, 2, width=4)
+
+prep = NeutronNovaZkSNARK.prep_prove(pk, steps, core, rng=det(1))
+proof_1dev, _ = NeutronNovaZkSNARK.prove(pk, steps, core, prep, rng=det(2))
+pv_steps, pv_core = NeutronNovaZkSNARK.verify(proof_1dev, vk, 2)
+assert pv_steps == [s.public_values() for s in steps]
+
+prep = NeutronNovaZkSNARK.prep_prove(pk, steps, core, rng=det(1))
+proof_mesh, _ = NeutronNovaZkSNARK.prove(pk, steps, core, prep, rng=det(2),
+                                         mesh=make_mesh(8))
+assert (neutronnova_proof_to_bytes(proof_mesh, engine)
+        == neutronnova_proof_to_bytes(proof_1dev, engine)), \
+    "sharded ZK sum-check proof differs from single-device"
+print("NN_MESH_OK")
+"""
+
+
+def _mesh_env():
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["PALLAS_AXON_POOL_IPS"] = ""
     env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
                         + " --xla_force_host_platform_device_count=8").strip()
     env["PYTHONPATH"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    res = subprocess.run([sys.executable, "-c", SCRIPT], env=env,
+    return env
+
+
+@pytest.mark.skipif(not os.environ.get("SPARTAN2_RUN_MESH"),
+                    reason="slow: CPU-mesh prove (set SPARTAN2_RUN_MESH=1)")
+def test_mesh_sharded_prove():
+    res = subprocess.run([sys.executable, "-c", SCRIPT], env=_mesh_env(),
                          capture_output=True, text=True, timeout=3600)
     assert "MESH_PROVE_OK" in res.stdout, res.stderr[-3000:]
     assert "MESH_COMMIT_OK" in res.stdout, res.stderr[-3000:]
+
+
+@pytest.mark.skipif(not os.environ.get("SPARTAN2_RUN_MESH"),
+                    reason="slow: CPU-mesh prove (set SPARTAN2_RUN_MESH=1)")
+def test_mesh_sharded_nn_zk_sumchecks():
+    """NeutronNova with the batched ZK outer/inner sum-checks sharded
+    must produce a byte-identical proof to the single-device prover."""
+    res = subprocess.run([sys.executable, "-c", NN_SCRIPT], env=_mesh_env(),
+                         capture_output=True, text=True, timeout=3600)
+    assert "NN_MESH_OK" in res.stdout, res.stderr[-3000:]
