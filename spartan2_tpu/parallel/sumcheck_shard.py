@@ -475,3 +475,17 @@ def commit_rows_sharded(mesh: Mesh, comb, scal_canon: jnp.ndarray):
         out_specs=(P(None, DATA_AXIS),) * 3,
     )(scal_canon, *comb._tab)
     return tuple(c[:, :R] for c in out)
+
+
+# process-wide engine caches, mirroring sumcheck.zk_device.get_zk_*: the
+# per-instance lru_cache'd kernels hold ~10s-to-deserialize executables,
+# so constructing a fresh engine per prove() re-pays every load and pins
+# each dead instance via its own method caches.
+@functools.lru_cache(maxsize=None)
+def get_sharded_zk_cubic(ops: FieldOps, mesh: Mesh) -> ShardedZkSumcheckCubic:
+    return ShardedZkSumcheckCubic(ops, mesh)
+
+
+@functools.lru_cache(maxsize=None)
+def get_sharded_zk_quad(ops: FieldOps, mesh: Mesh) -> ShardedZkSumcheckQuad:
+    return ShardedZkSumcheckQuad(ops, mesh)

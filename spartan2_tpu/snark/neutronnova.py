@@ -654,8 +654,8 @@ class NeutronNovaZkSNARK:
                 jnp.stack([s, c], axis=1)
                 for s, c in ((AzF, Az_c), (BzF, Bz_c), (CzF, Cz_c)))
             if mesh is not None and stack3[0].shape[2] > mesh.devices.size:
-                from ..parallel.sumcheck_shard import ShardedZkSumcheckCubic
-                cubic = ShardedZkSumcheckCubic(ops, mesh)
+                from ..parallel.sumcheck_shard import get_sharded_zk_cubic
+                cubic = get_sharded_zk_cubic(ops, mesh)
             else:
                 cubic = get_zk_cubic(ops)
             r_x, finals_outer, tau_rx = cubic.prove(
@@ -731,8 +731,8 @@ class NeutronNovaZkSNARK:
                                               rng)[0]
 
             if mesh is not None and (1 << num_rounds_y) > mesh.devices.size:
-                from ..parallel.sumcheck_shard import ShardedZkSumcheckQuad
-                quad = ShardedZkSumcheckQuad(ops, mesh)
+                from ..parallel.sumcheck_shard import get_sharded_zk_quad
+                quad = get_sharded_zk_quad(ops, mesh)
             else:
                 quad = get_zk_quad(ops)
             r_y, finals_inner = quad.prove(

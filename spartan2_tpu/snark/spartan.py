@@ -304,10 +304,11 @@ class SpartanSNARK:
         public_values = circuit.public_values()
         transcript.absorb_scalars(b"public_values", public_values)
 
-        with span("witness_and_instance"):
+        with span("witness_and_instance") as sp:
             U, W = r1cs_instance_and_witness(
                 engine, prep.ps, S, pk.ck, circuit, is_small, transcript, rng
             )
+            sp.sync(W.W)
 
         # z = (W, 1, public, challenges), zero-padded to 2 * num_vars —
         # built on DEVICE from the witness planes; only the tiny IO tail
@@ -324,19 +325,20 @@ class SpartanSNARK:
 
         taus = [transcript.squeeze(b"t") for _ in range(num_rounds_x)]
 
-        with span("matrix_vector_multiply"):
+        with span("matrix_vector_multiply") as sp:
             lo = S.num_shared + S.num_precommitted
             if prep.ps.matvec_cache is not None:
                 Az, Bz, Cz = S.multiply_vec_incremental_device(
                     z[:, lo : S.num_cols], prep.ps.matvec_cache)
             else:
                 Az, Bz, Cz = S.multiply_vec_device(z[:, : S.num_cols])
+            sp.sync(Az, Bz, Cz)
 
         # ---- outer sum-check (device rounds, device transcript) ----
         td = DeviceTranscript(ops, state=jnp.asarray(
             np.frombuffer(transcript.state, np.uint8)), round=transcript.round)
         zero = ops.const(0)
-        with span("outer_sumcheck", rounds=num_rounds_x):
+        with span("outer_sumcheck", rounds=num_rounds_x) as sp_outer:
             if mesh is not None and (1 << num_rounds_x) > mesh.devices.size:
                 from ..parallel.sumcheck_shard import ShardedSumcheckCubic
 
@@ -364,6 +366,7 @@ class SpartanSNARK:
                     get_cubic_eq_prover(ops).prove(
                         td, Az, Bz, Cz, zero, taus, engine.scalar,
                         zero_check=True))
+            sp_outer.sync(td.state, *finals_outer)
         # ONE host sync for the transcript state + all three final claims
         import jax
 
@@ -382,19 +385,22 @@ class SpartanSNARK:
 
         eq_rx = eq_evals_device(ops, jnp.stack(r_x_dev, axis=1))
         r_mont = _upload_mont(engine, [r])[:, 0]
-        with span("prepare_poly_ABC"):
+        with span("prepare_poly_ABC") as sp:
             poly_ABC = S.bind_and_prepare_poly_ABC_device(eq_rx, r_mont)
+            sp.sync(poly_ABC)
 
         num_extra = 1 + S.num_public + S.num_challenges
         td = DeviceTranscript(ops, state=jnp.asarray(
             np.frombuffer(transcript.state, np.uint8)), round=transcript.round)
         inner0 = get_inner_round0(ops)
         claim_dev = _upload_mont(engine, [claim_inner])[:, 0]
-        abc_b, z_b, claim_dev, r0_dev, coeffs_r0 = inner0.run(
-            td, poly_ABC, z, claim_dev, num_vars, num_extra
-        )
+        with span("inner_round0") as sp:
+            abc_b, z_b, claim_dev, r0_dev, coeffs_r0 = inner0.run(
+                td, poly_ABC, z, claim_dev, num_vars, num_extra
+            )
+            sp.sync(abc_b, z_b)
         prover_quad = get_quad_prover(ops)
-        with span("inner_sumcheck", rounds=num_rounds_y):
+        with span("inner_sumcheck", rounds=num_rounds_y) as sp_inner:
             if mesh is not None and num_vars > mesh.devices.size:
                 from ..parallel.mesh import lane_sharding
                 from ..parallel.sumcheck_shard import ShardedSumcheckQuad
@@ -425,6 +431,7 @@ class SpartanSNARK:
                 coeffs_inner, r_y_dev, finals_inner, _ = prover_quad.prove(
                     td, abc_b, z_b, claim_dev, num_rounds_y - 1
                 )
+            sp_inner.sync(td.state, *finals_inner)
         # Batched host pulls: one transfer per group instead of per round.
         with span("tail_sync_pull"):
          state_np, outer_arr, inner_arr, tail_arr = jax.device_get((

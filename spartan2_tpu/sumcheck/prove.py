@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 from ..field.jnp_ops import NL, FieldOps
 from ..utils.jitcache import cached_jit
+from ..utils import tracing
 from ..transcript.device import DeviceTranscript
 
 
@@ -259,6 +260,11 @@ class SumcheckProverQuad:
         assert n == 1 << num_rounds
         coeffs_out, r_out = [], []
         done = 0
+        lap = tracing.level() >= 3
+        if lap:
+            import time
+
+            t_lap = time.perf_counter()
         while done < num_rounds:
             remaining = num_rounds - done
             if n <= TAIL_FUSE_N and remaining > 1:
@@ -269,6 +275,10 @@ class SumcheckProverQuad:
                 td.round += remaining
                 coeffs_out.extend(cs)
                 r_out.extend(rs)
+                if lap:
+                    jax.block_until_ready(A)
+                    t_lap = tracing.lap(
+                        f"quad fused tail x{remaining} (n={n})", t_lap)
                 break
             A, Bp, claim, r, coeffs, tstate = self._step(n)(
                 A, Bp, claim, td.state, round_dev(int(td.round)))
@@ -276,6 +286,9 @@ class SumcheckProverQuad:
             td.round += 1
             coeffs_out.append(coeffs)
             r_out.append(r)
+            if lap:
+                jax.block_until_ready(A)
+                t_lap = tracing.lap(f"quad round {done} (n={n})", t_lap)
             n //= 2
             done += 1
         finals = (A[:, 0], Bp[:, 0])
@@ -483,6 +496,12 @@ class SumcheckProverCubicEq:
         coeffs_out, r_out = [], []
         n = 1 << m
         j = 0
+        lap = tracing.level() >= 3  # per-round attribution (serializes!)
+        if lap:
+            import time
+
+            jax.block_until_ready(flat_dev)
+            t_lap = tracing.lap("cubic_eq upload flat", time.perf_counter())
         while j < m:
             # fuse the whole tail into one kernel once rounds are small
             # and tau-nonzero (the tau==0 fallback stays per-round)
@@ -496,6 +515,10 @@ class SumcheckProverCubicEq:
                 td.round += len(specs)
                 coeffs_out.extend(cs)
                 r_out.extend(rs)
+                if lap:
+                    jax.block_until_ready(A)
+                    t_lap = tracing.lap(
+                        f"cubic_eq fused tail x{len(specs)} (n={n})", t_lap)
                 break
             A, Bp, C, P, claim, r, coeffs, tstate = self._step(spec_for(j))(
                 A, Bp, C, flat_dev, P, claim, td.state,
@@ -504,6 +527,9 @@ class SumcheckProverCubicEq:
             td.round += 1
             coeffs_out.append(coeffs)
             r_out.append(r)
+            if lap:
+                jax.block_until_ready(A)
+                t_lap = tracing.lap(f"cubic_eq round {j} (n={n})", t_lap)
             n //= 2
             j += 1
         finals = (A[:, 0], Bp[:, 0], C[:, 0])

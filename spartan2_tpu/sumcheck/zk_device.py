@@ -409,10 +409,22 @@ class NifsRoundsDevice:
                 u = pc(pc(u))
                 m //= k
             u = u[..., 0]  # (C, pairs)
-            # make the signed total non-negative: |value| < p * 2^124 * n
-            # < 2^408 for n <= 2^28; add the smallest multiple-of-p above
+            # Make the signed total non-negative before acc_reduce
+            # (which, like SmallAccumulator::reduce, small_value.rs:
+            # 171-176, assumes a non-negative integer).  Worst case:
+            # |sum| <= n * max|E| * max|t|, with E loose Montgomery
+            # (< 2p) and t a product of two values in the 2^72 small
+            # window (|t| < 2^146; the e0 path's Ae*Be - Ce is smaller).
+            # The offset is the least multiple of p above that bound —
+            # derived, not hardcoded: the old fixed 2^408 underflowed
+            # for n >= 32 at the full 2^72 gate window.
+            bits = (n * (2 * ops.p) * (1 << 146)).bit_length()
+            need_cols = -(-(bits + 13) // 12)
+            if u.shape[0] < need_cols:
+                pad = jnp.zeros((need_cols - u.shape[0],) + u.shape[1:], u.dtype)
+                u = jnp.concatenate([u, pad], axis=0)
             offs = jnp.asarray(
-                offset_limbs_np(u.shape[0], 408, ops.p)[:, None])
+                offset_limbs_np(u.shape[0], bits, ops.p)[:, None])
             inner = ops.acc_reduce(u + offs)  # (NL, pairs) plain value
             return ops.sum_products(w, inner)  # plain value
 

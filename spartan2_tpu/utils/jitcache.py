@@ -53,11 +53,37 @@ def _log(msg: str) -> None:
         print(f"[jitcache] {msg}", file=sys.stderr, flush=True)
 
 
+def _host_cpu_features() -> str:
+    """Stable digest of the host CPU feature flags (from /proc/cpuinfo).
+
+    XLA:CPU AOT executables embed target-machine features; loading one
+    compiled on a different host risks SIGILL (observed after host
+    resets: 'Machine type used for XLA:CPU compilation doesn't match').
+    Keying CPU-backend cache entries on the feature set makes post-reset
+    hosts recompile instead of loading mismatched binaries.
+    """
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    flags = sorted(line.split(":", 1)[1].split())
+                    return hashlib.sha256(" ".join(flags).encode()).hexdigest()[:16]
+    except OSError:
+        pass
+    return "nofeat"
+
+
 def _backend_fingerprint() -> str:
     from jax._src import xla_bridge
 
     backend = xla_bridge.get_backend()
-    return f"{backend.platform}-{backend.platform_version}-jax{jax.__version__}"
+    fp = f"{backend.platform}-{backend.platform_version}-jax{jax.__version__}"
+    if backend.platform == "cpu":
+        # TPU executables run on the remote axon service — host CPU
+        # features are irrelevant there and must not invalidate that
+        # cache; only CPU AOT binaries are host-feature-sensitive.
+        fp += f"-cpufeat{_host_cpu_features()}"
+    return fp
 
 
 class _CachedFn:

@@ -50,16 +50,36 @@ def test_to_small_planes_rejects_large(fctx):
     assert list(np.asarray(ok)) == [True, False, False, False, True]
 
 
-def test_nifs_small_round0_matches_montgomery(fctx):
+@pytest.mark.parametrize("n,lo_bits", [(8, 0), (32, 62)])
+def test_nifs_small_round0_matches_montgomery(fctx, n, lo_bits):
+    """(n=32, lo_bits=62) is the overflow-boundary case: every operand in
+    (2^62, 2^72) — beyond the reference's SMALL_VALUE_MAX but inside this
+    implementation's 2^72 gate window — on a grid wide enough that the
+    old fixed 2^408 accumulator offset underflowed (advisor round-2
+    high finding)."""
     spec, ops = fctx
     p = spec.modulus
     rng = np.random.default_rng(7)
-    I, n = 4, 8
+    I = 4
     # arbitrary small signed values, deliberately NOT satisfying A*B=C:
     # the small kernel must agree with the Montgomery kernel on any input
     def grid():
-        mag = rng.integers(-(1 << 62), 1 << 62, size=(I, n))
-        return [[int(v) % p for v in row] for row in mag]
+        if not lo_bits:
+            return [[int(v) % p
+                     for v in rng.integers(-(1 << 62), 1 << 62, size=n)]
+                    for _ in range(I)]
+        rows = []
+        for _ in range(I):
+            row = []
+            for _ in range(n):
+                # |v| in [2^62, 2^72): nonzero top 10 bits over a 62-bit tail
+                v = (int(rng.integers(1, 1 << 10)) << 62) | int(
+                    rng.integers(0, 1 << 62))
+                if rng.integers(0, 2):
+                    v = -v
+                row.append(v % p)
+            rows.append(row)
+        return rows
 
     As, Bs, Cs = grid(), grid(), grid()
     E = [int.from_bytes(rng.bytes(40), "little") % p for _ in range(n)]
