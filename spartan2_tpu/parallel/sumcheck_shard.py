@@ -28,6 +28,9 @@ from ..sumcheck.prove import (
     absorb_unipoly,
     from_evals3_dev,
     from_evals4_dev,
+    gruen_finish,
+    gruen_pack,
+    round_dev,
     unipoly_eval_dev,
 )
 from ..transcript.device import DeviceTranscript
@@ -154,6 +157,168 @@ class ShardedSumcheckCubic:
             r_out.append(r)
             n = half
         return (eq, A, Bp, C), coeffs_out, r_out, claim
+
+
+class ShardedSumcheckCubicEq:
+    """Gruen/BDDT eq-split outer sum-check with the hypercube axis
+    sharded (A8) — byte-identical messages to the single-device
+    SumcheckProverCubicEq (sumcheck/prove.py) and the same cost shape:
+    2 N-scaling sums + 3 binds per round, NO 2^m eq table (the round-2
+    sharded prover ran the explicit-eq engine: 3 sums + 4 binds + a
+    full eq table on the mesh, ~2x the FLOPs; reference shape
+    sumcheck.rs:920-1428).
+
+    Mesh mapping: the flat half-hypercube is sharded in contiguous
+    blocks.  For two-level rounds each chip owns el_len/n_dev rows of
+    the (EL, ER) grid (the shard boundary never splits a row because
+    el_len % n_dev == 0 is required for sharding); each chip contracts
+    its rows against the replicated ER table, reduces against its EL
+    slice (a static dynamic-slice by axis index into the one-shot flat
+    constants upload), and psums ACC_COLS integer columns — the only
+    collective, ~46 int32 per sum.  The Gruen finish algebra and the
+    Keccak squeeze run replicated (gruen_finish — the shared helper
+    guarantees the bytes match the single-device engine)."""
+
+    def __init__(self, ops: FieldOps, mesh: Mesh):
+        self.ops = ops
+        self.mesh = mesh
+
+    _partial_cols = ShardedSumcheckCubic._partial_cols
+
+    @staticmethod
+    def _shardable(spec_r: tuple, n_dev: int) -> bool:
+        n, el_len, _zc, _fb, _c, _el, _er = spec_r
+        half = n // 2
+        if el_len:
+            return el_len >= n_dev and el_len % n_dev == 0
+        return half >= n_dev and half % n_dev == 0
+
+    @functools.lru_cache(maxsize=None)
+    def _step(self, spec_r: tuple):
+        ops = self.ops
+        mesh = self.mesh
+        n_dev = mesh.devices.size
+        n, el_len, zero_check, fallback, sl_c, sl_el, sl_er = spec_r
+        half = n // 2
+        sh = P(None, DATA_AXIS)
+
+        def local_sums(A_l, A_h, B_l, B_h, C_l, C_h, flat):
+            idx = jax.lax.axis_index(DATA_AXIS)
+            A_d = ops.sub(A_h, A_l)
+            B_d = ops.sub(B_h, B_l)
+
+            def partial(f):
+                if el_len:
+                    L_loc = el_len // n_dev
+                    R = half // el_len
+                    EL = jax.lax.dynamic_slice_in_dim(
+                        flat[:, sl_el[0] : sl_el[1]], idx * L_loc, L_loc,
+                        axis=1)
+                    ER = flat[:, sl_er[0] : sl_er[1]]
+                    g = f.reshape(NL, L_loc, R)
+                    t = ops._mul_cols(ER[:, None, :], g)
+                    t = ops._parallel_carry(t)
+                    m_ = R
+                    while m_ > 1:
+                        k = min(m_, 4096)
+                        t = t.reshape(t.shape[:2] + (m_ // k, k)).sum(axis=-1)
+                        t = ops._parallel_carry(t)
+                        m_ //= k
+                    inner = ops.acc_reduce(t[..., 0])  # (NL, L_loc)
+                    return self._partial_cols(EL, inner)
+                loc = half // n_dev
+                W = jax.lax.dynamic_slice_in_dim(
+                    flat[:, sl_er[0] : sl_er[1]], idx * loc, loc, axis=1)
+                return self._partial_cols(W, f)
+
+            outs = []
+            if not zero_check:
+                outs.append(partial(ops.sub(ops.mont_mul(A_l, B_l), C_l)))
+            outs.append(partial(ops.mont_mul(A_d, B_d)))
+            if fallback:
+                outs.append(partial(ops.sub(
+                    ops.mont_mul(ops.sub(ops.double(A_l), A_h),
+                                 ops.sub(ops.double(B_l), B_h)),
+                    ops.sub(ops.double(C_l), C_h))))
+            return jax.lax.psum(jnp.stack(outs), DATA_AXIS)
+
+        def step(A_l, A_h, B_l, B_h, C_l, C_h, flat, P_run, claim, tstate,
+                 t_round):
+            cols = shard_map(
+                local_sums, mesh=mesh,
+                in_specs=(sh,) * 6 + (P(),), out_specs=P(),
+            )(A_l, A_h, B_l, B_h, C_l, C_h, flat)
+            i = 0
+            t0_raw = None
+            if not zero_check:
+                t0_raw = ops.acc_reduce(cols[i])
+                i += 1
+            tinf_raw = ops.acc_reduce(cols[i])
+            i += 1
+            tm1_raw = ops.acc_reduce(cols[i]) if fallback else None
+            consts = flat[:, sl_c[0] : sl_c[1]]
+            coeffs, r, new_claim, P_n, tstate = gruen_finish(
+                ops, zero_check, fallback, consts, t0_raw, tinf_raw,
+                tm1_raw, P_run, claim, tstate, t_round)
+
+            def bind_shard(lo, hi, r):
+                rb = jnp.broadcast_to(r[:, None], lo.shape)
+                return ops.add(lo, ops.mont_mul(rb, ops.sub(hi, lo)))
+
+            bind = shard_map(bind_shard, mesh=mesh,
+                             in_specs=(sh, sh, P()), out_specs=sh)
+            A_n = bind(A_l, A_h, r)
+            B_n = bind(B_l, B_h, r)
+            C_n = bind(C_l, C_h, r)
+            return A_n, B_n, C_n, P_n, new_claim, r, coeffs, tstate
+
+        return cached_jit(step, devices=list(self.mesh.devices.flat))
+
+    def prove(self, td: DeviceTranscript, A, Bp, C, claim, taus: list[int],
+              spec, zero_check: bool = False):
+        """Drop-in for SumcheckProverCubicEq.prove: sharded rounds while
+        every chip owns whole grid rows, then a single-device tail with
+        the SAME flat upload and specs (run_from) — identical bytes."""
+        import numpy as np
+
+        from ..field.limbs import ints_to_limbs_np
+        from ..sumcheck.prove import get_cubic_eq_prover
+
+        ops = self.ops
+        m = len(taus)
+        assert A.shape[1] == 1 << m
+        flat, specs = gruen_pack(spec, taus, zero_check)
+        flat_dev = jnp.asarray(ints_to_limbs_np(flat, spec, mont=True))
+        n_dev = self.mesh.devices.size
+        P_run = ops.const(ops.spec.r_mod)
+        coeffs_out, r_out = [], []
+        j = 0
+        while j < m and self._shardable(specs[j], n_dev):
+            half = specs[j][0] // 2
+            A_p, Bp_p, C_p = (
+                (x[:, :half], x[:, half:]) for x in (A, Bp, C))
+            A, Bp, C, P_run, claim, r, coeffs, tstate = self._step(specs[j])(
+                *A_p, *Bp_p, *C_p, flat_dev, P_run, claim, td.state,
+                round_dev(int(td.round)))
+            td.state = tstate
+            td.round += 1
+            coeffs_out.append(coeffs)
+            r_out.append(r)
+            j += 1
+        # gather the remainder onto one device; the single-device engine
+        # continues from round j with the same constants and specs
+        A, Bp, C, P_run, claim, flat_dev = (
+            jnp.asarray(np.asarray(x))
+            for x in (A, Bp, C, P_run, claim, flat_dev))
+        td.state = jnp.asarray(np.asarray(td.state))
+        cs2, rs2, finals, claim = get_cubic_eq_prover(ops).run_from(
+            td, A, Bp, C, P_run, claim, flat_dev, specs, j)
+        return coeffs_out + cs2, r_out + rs2, finals, claim
+
+
+@functools.lru_cache(maxsize=None)
+def get_sharded_cubic_eq(ops: FieldOps, mesh: Mesh) -> ShardedSumcheckCubicEq:
+    return ShardedSumcheckCubicEq(ops, mesh)
 
 
 class ShardedSumcheckQuad:

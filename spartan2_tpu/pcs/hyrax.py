@@ -194,6 +194,53 @@ class HyraxPCS:
         nbits = 64 if is_small else NL * 12
         return ck.comb(nbits).rows_msm(v_canon)
 
+    def commit_raw_batch(self, ck: HyraxCommitmentKey, v_monts: list,
+                         is_small: bool = False) -> list:
+        """Batched commit_raw: the instances' row blocks are stacked on
+        the kernel's ROW axis so N vectors cost ONE comb rows-MSM call
+        instead of N (the reference parallelizes its per-instance commit
+        loop with rayon, neutronnova_zk.rs:1662-1722; here the batch
+        axis is device parallelism)."""
+        C = ck.num_cols
+        padded, rows = [], []
+        for v in v_monts:
+            n = v.shape[1]
+            R = _div_ceil(n, C)
+            if n < R * C:
+                v = jnp.concatenate(
+                    [v, jnp.zeros((NL, R * C - n), jnp.int32)], axis=1)
+            padded.append(v)
+            rows.append(R)
+        v_canon = self.fs.from_mont(
+            jnp.concatenate(padded, axis=1)).reshape(NL, sum(rows), C)
+        nbits = 64 if is_small else NL * 12
+        raw_all = ck.comb(nbits).rows_msm(v_canon)
+        out, lo = [], 0
+        for R in rows:
+            out.append(tuple(c[:, lo : lo + R] for c in raw_all))
+            lo += R
+        return out
+
+    def commit_from_raw_batch(self, ck: HyraxCommitmentKey, raws: list,
+                              rs: list[HyraxBlind]) -> list[HyraxCommitment]:
+        """Batched commit_from_raw: ONE blind rows-MSM + ONE jacobian add
+        + ONE device->host affine pull for N instances."""
+        rows = [raw[0].shape[1] for raw in raws]
+        raw_all = tuple(
+            jnp.concatenate([raw[i] for raw in raws], axis=1)
+            for i in range(3))
+        blinds = [b for r in rs for b in r.blind]
+        blinds_canon = jnp.asarray(
+            ints_to_limbs_np(blinds, self.curve.scalar, mont=False))
+        bl = ck.comb_h().rows_msm(blinds_canon[:, :, None])
+        total = self.dc.add(raw_all, bl)
+        affs = self.dc.to_affine_host(total)
+        out, lo = [], 0
+        for R in rows:
+            out.append(HyraxCommitment(affs[lo : lo + R]))
+            lo += R
+        return out
+
     def commit_from_raw(self, ck: HyraxCommitmentKey, raw,
                         r: HyraxBlind) -> HyraxCommitment:
         """Blind cached raw row MSMs: total_i = raw_i + r_i * h (the

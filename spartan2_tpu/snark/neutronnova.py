@@ -46,6 +46,9 @@ from ..r1cs.multiround import MultiRoundState, SplitMultiRoundR1CSInstance, Spli
 from ..r1cs.relaxed import NovaNIFS, R1CSInstance, R1CSWitnessHost, RelaxedR1CSInstance
 from ..r1cs.shape import SplitR1CSInstance, SplitR1CSShape
 from ..snark.spartan import (
+    commit_pending_batch,
+    instance_witness_begin,
+    instance_witness_finish,
     precommitted_witness,
     r1cs_instance_and_witness,
     shared_witness,
@@ -512,14 +515,12 @@ class NeutronNovaZkSNARK:
                    is_small: bool = False, rng=None) -> NeutronNovaPrep:
         """Shared witness synthesized once, cloned per step; core reuses it
         (neutronnova_zk.rs:1477-1603)."""
-        import copy
-
         engine = pk.engine
         ps = shared_witness(engine, pk.S_step, pk.ck, step_circuits[0],
                             is_small, rng)
         ps_step = []
         for circ in step_circuits:
-            ps_i = copy.deepcopy(ps)
+            ps_i = ps.clone_after_shared()
             precommitted_witness(engine, ps_i, pk.S_step, pk.ck, circ,
                                  is_small, rng)
             ps_step.append(ps_i)
@@ -554,16 +555,24 @@ class NeutronNovaZkSNARK:
                     new_blind)
                 ps_i.r_W_precommitted = new_blind
 
-        # per-instance transcripts (neutronnova_zk.rs:1662-1722)
+        # per-instance transcripts (neutronnova_zk.rs:1662-1722); the
+        # N per-step rest commits run as ONE batched rows-MSM + ONE
+        # blind MSM + ONE affine pull (commit_pending_batch) instead of
+        # N serial kernel invocations
         step_instances, step_witnesses, step_W_dev = [], [], []
+        pendings, step_trs = [], []
         for i, (ps_i, circ) in enumerate(zip(prep.ps_step, step_circuits)):
             tr = engine.transcript(b"neutronnova_prove")
             tr.absorb_bytes(b"vk", pk.vk_digest)
             tr.absorb_scalar(b"num_circuits", n_steps)
             tr.absorb_scalar(b"circuit_index", i)
             tr.absorb_scalars(b"public_values", circ.public_values())
-            U_i, W_i = r1cs_instance_and_witness(
-                engine, ps_i, pk.S_step, pk.ck, circ, is_small, tr, rng)
+            pendings.append(instance_witness_begin(
+                engine, ps_i, pk.S_step, pk.ck, circ, is_small, tr, rng))
+            step_trs.append(tr)
+        comms_rest = commit_pending_batch(engine, pk.ck, pk.S_step, pendings)
+        for pend, tr, cm in zip(pendings, step_trs, comms_rest):
+            U_i, W_i = instance_witness_finish(engine, pend, pk.S_step, cm, tr)
             step_instances.append(U_i)
             step_witnesses.append(R1CSWitnessHost(W=W_i.W_host, r_W=W_i.r_W))
             step_W_dev.append(W_i.W)

@@ -100,6 +100,26 @@ class PrecommittedState:
     rest_key: Optional[int] = None
     rest_mont: Optional[object] = None
 
+    def clone_after_shared(self) -> "PrecommittedState":
+        """Cheap per-step clone of the shared-phase state (NeutronNova
+        preps one shared witness and clones it per step circuit,
+        neutronnova_zk.rs:1495-1509).  Shares the immutable pieces
+        (shared Nums, commitments, device prefix planes) and shallow-
+        copies only the lists the per-step synthesis mutates — a
+        deepcopy here walked ~num_vars ints per step."""
+        cs2 = ConstraintSystem(self.cs.field, shape_mode=False)
+        cs2.num_aux = self.cs.num_aux
+        cs2.aux_assignment = list(self.cs.aux_assignment)
+        cs2.input_assignment = list(self.cs.input_assignment)
+        return PrecommittedState(
+            cs=cs2, shared=self.shared, precommitted=list(self.precommitted),
+            W=list(self.W), comm_W_shared=self.comm_W_shared,
+            r_W_shared=self.r_W_shared,
+            comm_W_precommitted=self.comm_W_precommitted,
+            r_W_precommitted=self.r_W_precommitted,
+            W_prefix_mont=self.W_prefix_mont,
+            matvec_cache=self.matvec_cache)
+
 
 @dataclass
 class SpartanPrepSNARK:
@@ -169,11 +189,29 @@ def precommitted_witness(engine: Engine, ps: PrecommittedState,
     ps.precommitted = precommitted
 
 
-def r1cs_instance_and_witness(engine: Engine, ps: PrecommittedState,
-                              S: SplitR1CSShape, ck, circuit, is_small: bool,
-                              transcript: Transcript, rng=None):
-    """bellpepper/r1cs.rs:411-537: absorb partial commitments, squeeze
-    challenges, synthesize the rest, commit it."""
+@dataclass
+class PendingInstance:
+    """Instance synthesis split at the rest-commit boundary so batch
+    callers (NeutronNova) can fuse the per-step rest MSMs into one
+    batched rows-MSM kernel (neutronnova_zk.rs:1662-1722 runs these
+    under rayon; here the batch axis IS the kernel's row axis)."""
+
+    ps: PrecommittedState
+    challenges: list
+    r_W_rest: HyraxBlind
+    rest_mont: object       # (NL, num_rest) device planes (zeros path: zeros)
+    actual_small: bool
+    need_raw: bool          # rest raw-MSM cache miss — must commit
+    zeros: bool             # num_rest_unpadded == 0: blind-only commit
+    public_values: list
+
+
+def instance_witness_begin(engine: Engine, ps: PrecommittedState,
+                           S: SplitR1CSShape, ck, circuit, is_small: bool,
+                           transcript: Transcript, rng=None) -> PendingInstance:
+    """Phase 1 of bellpepper/r1cs.rs:411-537: absorb partial commitments,
+    squeeze challenges, synthesize + upload the rest segment.  No device
+    commit happens here — see instance_witness_finish."""
     pcs = engine.pcs
     if ps.comm_W_shared is not None:
         transcript.absorb_bytes(
@@ -199,57 +237,125 @@ def r1cs_instance_and_witness(engine: Engine, ps: PrecommittedState,
             src : src + S.num_rest_unpadded
         ]
 
-    from ..utils.tracing import span as _span
-
     r_W_rest = pcs.blind(ck, S.num_rest, rng=rng)
     lo = S.num_shared + S.num_precommitted
     if ps.W_prefix_mont is None:
         ps.W_prefix_mont = _upload_mont(engine, ps.W[:lo])
-    if S.num_rest_unpadded == 0:
-        comm_W_rest = pcs.commit_zeros(ck, S.num_rest, r_W_rest)
-        actual_small = True
-        rest_mont = jnp.zeros((NL, S.num_rest), jnp.int32)
-    else:
-        rest = ps.W[lo : lo + S.num_rest]
-        actual_small = is_small or all(
-            v < (1 << 64) for v in ps.W[lo : lo + S.num_rest_unpadded]
-        )
-        # raw-MSM cache: a re-prove with the same rest witness (the
-        # common prep-reuse pattern) skips the full row MSM and only
-        # adds the fresh blinds (spartan.rs cached_rest_msm)
-        rest_key = hash(tuple(rest))
-        if ps.rest_raw is None or ps.rest_key != rest_key:
-            with _span("commit_rest_raw_msm"):
-                ps.rest_mont = _upload_mont(engine, rest)
-                ps.rest_raw = pcs.commit_raw(ck, ps.rest_mont, actual_small)
-                ps.rest_key = rest_key
-        rest_mont = ps.rest_mont
-        with _span("commit_rest_blind"):
-            comm_W_rest = pcs.commit_from_raw(ck, ps.rest_raw, r_W_rest)
-    transcript.absorb_bytes(
-        b"comm_W_rest", comm_W_rest.to_transcript_bytes(engine.curve)
-    )
 
     if skip_synthesize:
         public_values = circuit.public_values()
     else:
         public_values = ps.cs.input_assignment[1 : 1 + S.num_public]
 
+    if S.num_rest_unpadded == 0:
+        return PendingInstance(
+            ps=ps, challenges=challenges, r_W_rest=r_W_rest,
+            rest_mont=jnp.zeros((NL, S.num_rest), jnp.int32),
+            actual_small=True, need_raw=False, zeros=True,
+            public_values=public_values)
+
+    rest = ps.W[lo : lo + S.num_rest]
+    actual_small = is_small or all(
+        v < (1 << 64) for v in ps.W[lo : lo + S.num_rest_unpadded]
+    )
+    # raw-MSM cache: a re-prove with the same rest witness (the
+    # common prep-reuse pattern) skips the full row MSM and only
+    # adds the fresh blinds (spartan.rs cached_rest_msm)
+    rest_key = hash(tuple(rest))
+    need_raw = ps.rest_raw is None or ps.rest_key != rest_key
+    if need_raw:
+        ps.rest_mont = _upload_mont(engine, rest)
+        ps.rest_key = rest_key
+        ps.rest_raw = None
+    return PendingInstance(
+        ps=ps, challenges=challenges, r_W_rest=r_W_rest,
+        rest_mont=ps.rest_mont, actual_small=actual_small,
+        need_raw=need_raw, zeros=False, public_values=public_values)
+
+
+def instance_witness_finish(engine: Engine, pend: PendingInstance,
+                            S: SplitR1CSShape, comm_W_rest,
+                            transcript: Transcript):
+    """Phase 2: absorb the rest commitment, assemble (U, W)."""
+    pcs = engine.pcs
+    ps = pend.ps
+    transcript.absorb_bytes(
+        b"comm_W_rest", comm_W_rest.to_transcript_bytes(engine.curve)
+    )
     U = SplitR1CSInstance(
         comm_W_shared=ps.comm_W_shared,
         comm_W_precommitted=ps.comm_W_precommitted,
         comm_W_rest=comm_W_rest,
-        public_values=public_values,
-        challenges=challenges,
+        public_values=pend.public_values,
+        challenges=pend.challenges,
     )
     blinds = [b for b in (ps.r_W_shared, ps.r_W_precommitted) if b is not None]
-    blinds.append(r_W_rest)
+    blinds.append(pend.r_W_rest)
     r_W = pcs.combine_blinds(blinds)
-    W_dev = (jnp.concatenate([ps.W_prefix_mont, rest_mont], axis=1)
-             if lo else rest_mont)
-    W = R1CSWitness(W=W_dev, r_W=r_W, is_small=actual_small,
+    lo = S.num_shared + S.num_precommitted
+    W_dev = (jnp.concatenate([ps.W_prefix_mont, pend.rest_mont], axis=1)
+             if lo else pend.rest_mont)
+    W = R1CSWitness(W=W_dev, r_W=r_W, is_small=pend.actual_small,
                     W_host=list(ps.W))
     return U, W
+
+
+def commit_pending_batch(engine: Engine, ck, S: SplitR1CSShape,
+                         pendings: list[PendingInstance]) -> list:
+    """Commit many pending instances' rest segments with batched device
+    kernels: one raw rows-MSM over all cache-miss instances, one blind
+    rows-MSM + one affine pull over all instances."""
+    from ..utils.tracing import span as _span
+
+    pcs = engine.pcs
+    out: list = [None] * len(pendings)
+    live = []
+    for i, p in enumerate(pendings):
+        if p.zeros:
+            out[i] = pcs.commit_zeros(ck, S.num_rest, p.r_W_rest)
+        else:
+            live.append(i)
+    need = [i for i in live if pendings[i].need_raw]
+    if need:
+        # full-width tables are always sound; the 64-bit fast tables
+        # need EVERY batched instance small
+        small = all(pendings[i].actual_small for i in need)
+        with _span("commit_rest_raw_msm_batch", n=len(need)):
+            raws = pcs.commit_raw_batch(
+                ck, [pendings[i].ps.rest_mont for i in need], small)
+        for i, raw in zip(need, raws):
+            pendings[i].ps.rest_raw = raw
+    if live:
+        with _span("commit_rest_blind_batch", n=len(live)):
+            comms = pcs.commit_from_raw_batch(
+                ck, [pendings[i].ps.rest_raw for i in live],
+                [pendings[i].r_W_rest for i in live])
+        for i, cm in zip(live, comms):
+            out[i] = cm
+    return out
+
+
+def r1cs_instance_and_witness(engine: Engine, ps: PrecommittedState,
+                              S: SplitR1CSShape, ck, circuit, is_small: bool,
+                              transcript: Transcript, rng=None):
+    """bellpepper/r1cs.rs:411-537: absorb partial commitments, squeeze
+    challenges, synthesize the rest, commit it."""
+    from ..utils.tracing import span as _span
+
+    pcs = engine.pcs
+    pend = instance_witness_begin(engine, ps, S, ck, circuit, is_small,
+                                  transcript, rng)
+    if pend.zeros:
+        comm_W_rest = pcs.commit_zeros(ck, S.num_rest, pend.r_W_rest)
+    else:
+        if pend.need_raw:
+            with _span("commit_rest_raw_msm"):
+                ps.rest_raw = pcs.commit_raw(ck, ps.rest_mont,
+                                             pend.actual_small)
+        with _span("commit_rest_blind") as sp:
+            comm_W_rest = pcs.commit_from_raw(ck, ps.rest_raw, pend.r_W_rest)
+            sp.sync()
+    return instance_witness_finish(engine, pend, S, comm_W_rest, transcript)
 
 
 # ---------------------------------------------------------------------------
@@ -340,26 +446,15 @@ class SpartanSNARK:
         zero = ops.const(0)
         with span("outer_sumcheck", rounds=num_rounds_x) as sp_outer:
             if mesh is not None and (1 << num_rounds_x) > mesh.devices.size:
-                from ..parallel.sumcheck_shard import ShardedSumcheckCubic
+                # sharded Gruen/BDDT rounds (no 2^m eq table on the
+                # mesh either) + single-device tail — byte-identical
+                # to the non-mesh path below
+                from ..parallel.sumcheck_shard import get_sharded_cubic_eq
 
-                taus_dev = _upload_mont(engine, taus)
-                eq_tau = eq_evals_device(ops, taus_dev)
-                sharded = ShardedSumcheckCubic(ops, mesh)
-                (eq_tau, Az, Bz, Cz), coeffs_sharded, r_sharded, claim = (
-                    sharded.prove(td, eq_tau, Az, Bz, Cz, zero))
-                # gather the small remainder onto device 0 for the tail
-                import jax
-
-                dev0 = jax.devices()[0]
-                eq_tau, Az, Bz, Cz, claim = (
-                    jax.device_put(x, dev0) for x in (eq_tau, Az, Bz, Cz, claim))
-                td.state = jax.device_put(td.state, dev0)
-                prover_cubic = get_cubic_prover(ops)
-                coeffs_outer, r_x_dev, finals_outer, _ = prover_cubic.prove(
-                    td, eq_tau, Az, Bz, Cz, claim
-                )
-                coeffs_outer = coeffs_sharded + coeffs_outer
-                r_x_dev = r_sharded + r_x_dev
+                coeffs_outer, r_x_dev, finals_outer, _ = (
+                    get_sharded_cubic_eq(ops, mesh).prove(
+                        td, Az, Bz, Cz, zero, taus, engine.scalar,
+                        zero_check=True))
             else:
                 # Gruen/BDDT eq-split: no 2^m eq table, 2 sums per round
                 coeffs_outer, r_x_dev, finals_outer, _ = (

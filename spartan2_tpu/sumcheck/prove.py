@@ -122,6 +122,100 @@ def _bind_top(ops: FieldOps, arr: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Gruen/BDDT shared machinery (used by the single-device prover below and
+# the sharded prover in parallel/sumcheck_shard.py — the two must stay
+# byte-identical on the wire)
+# ---------------------------------------------------------------------------
+
+
+def gruen_pack(spec, taus: list[int], zero_check: bool):
+    """Flat-pack every per-round Gruen constant into one host list and
+    derive the per-round static spec tuples.
+
+    Returns (flat, specs): ``flat`` is the host-int list to upload ONCE
+    (the tunneled link costs ~tens of ms per transfer); ``specs[j]`` is
+    the static tuple (n, el_len, zero_check, fallback, sl_c, sl_el,
+    sl_er) of round j, where sl_* are [lo, hi) slices into the upload.
+    """
+    from ..polys.eq import eq_evals_host
+
+    p = spec.modulus
+    m = len(taus)
+    fh = m // 2
+    flat: list[int] = []
+    slices: dict = {}
+
+    def pack(key, vals):
+        slices[key] = (len(flat), len(flat) + len(vals))
+        flat.extend(vals)
+
+    for j in range(m):
+        tau = taus[j] % p
+        pack(("c", j), [(1 - tau) % p, (2 * tau - 1) % p,
+                        (2 - 3 * tau) % p,
+                        pow(tau, -1, p) if tau else 0])
+    pack("ER", eq_evals_host(spec, taus[fh:]))
+    for j in range(fh - 1):
+        pack(("EL", j), eq_evals_host(spec, taus[j + 1 : fh]))
+    for j in range(max(fh - 1, 0), m):
+        pack(("T", j), eq_evals_host(spec, taus[j + 1 :]))
+
+    def spec_for(j):
+        tau = taus[j] % p
+        two_level = j < fh - 1
+        if two_level:
+            sl_el = slices[("EL", j)]
+            sl_er = slices["ER"]
+            el_len = sl_el[1] - sl_el[0]
+        else:
+            sl_el = (0, 0)
+            sl_er = slices[("T", j)]
+            el_len = 0
+        return (1 << (m - j), el_len, zero_check and j == 0, tau == 0,
+                slices[("c", j)], sl_el, sl_er)
+
+    return flat, tuple(spec_for(j) for j in range(m))
+
+
+def gruen_finish(ops: FieldOps, zero_check: bool, fallback: bool, consts,
+                 t0_raw, tinf_raw, tm1_raw, P, claim, tstate, t_round):
+    """The replicated per-round Gruen algebra: raw sums -> round
+    coefficients -> transcript squeeze -> claim/prefix update.  Shared
+    by the single-device and sharded provers (identical bytes)."""
+    half_const = ops.spec.two_inv * ops.spec.r_mod % ops.p
+    eq_0, eq_slope, eq_m1, inv_tau = (consts[:, i] for i in range(4))
+
+    Tinf = ops.mont_mul(tinf_raw, P)
+    c3 = ops.mont_mul(eq_slope, Tinf)  # s_leading
+    if zero_check:
+        zero = jnp.zeros((NL,), jnp.int32)
+        T0, c0, e1 = zero, zero, zero
+    else:
+        T0 = ops.mont_mul(t0_raw, P)
+        c0 = ops.mont_mul(eq_0, T0)  # s(0)
+        e1 = ops.sub(claim, c0)  # s(1)
+    if fallback:
+        # tau == 0: t(-1) was computed directly with a third sum
+        Tm1 = ops.mont_mul(tm1_raw, P)
+    else:
+        T1 = ops.mont_mul(e1, inv_tau)  # s(1)/(tau*P) * P
+        Tm1 = ops.sub(ops.add(ops.double(Tinf), ops.double(T0)), T1)
+    s_m1 = ops.mont_mul(eq_m1, Tm1)
+    c1 = ops.sub(ops.mul_const(ops.sub(e1, s_m1), half_const), c3)
+    c2 = ops.sub(ops.mul_const(ops.add(e1, s_m1), half_const), c0)
+    coeffs = jnp.stack([c0, c1, c2, c3], axis=1)
+
+    td = DeviceTranscript(ops, state=tstate,
+                          round=jnp.asarray(t_round, jnp.uint32))
+    absorb_unipoly(td, coeffs)
+    r = td.squeeze_mont(b"c")
+    new_claim = unipoly_eval_dev(ops, coeffs, r)
+    eq_tau_r = ops.add(eq_0, ops.mont_mul(eq_slope, r))
+    P_n = ops.mont_mul(P, eq_tau_r)
+    return coeffs, r, new_claim, P_n, td.state
+
+
+# ---------------------------------------------------------------------------
 # provers
 # ---------------------------------------------------------------------------
 
@@ -349,15 +443,14 @@ class SumcheckProverCubicEq:
         """One traced Gruen round.  ``spec_r`` is the static per-round
         tuple (n, el_len, zero_check, fallback, sl_c, sl_el, sl_er)
         where sl_* are [lo, hi) slices into the one-shot flat constants
-        upload — static slicing keeps per-round host work at zero
-        transfers.  Shared by the per-round jit and the fused tail."""
+        upload (gruen_pack) — static slicing keeps per-round host work
+        at zero transfers.  Shared by the per-round jit and the fused
+        tail."""
         n, el_len, zero_check, fallback, sl_c, sl_el, sl_er = spec_r
         ops = self.ops
-        half_const = ops.spec.two_inv * ops.spec.r_mod % ops.p
         consts = flat[:, sl_c[0] : sl_c[1]]
         EL = flat[:, sl_el[0] : sl_el[1]] if el_len else None
         ER = flat[:, sl_er[0] : sl_er[1]]
-        eq_0, eq_slope, eq_m1, inv_tau = (consts[:, i] for i in range(4))
         half = n // 2
         A_l, A_h = A[:, :half], A[:, half:]
         B_l, B_h = Bp[:, :half], Bp[:, half:]
@@ -374,15 +467,7 @@ class SumcheckProverCubicEq:
         finf = grid(ops.mont_mul(A_d, B_d))
         t0_raw, tinf_raw = self._weighted_pair(EL, ER, f0, finf)
 
-        Tinf = ops.mont_mul(tinf_raw, P)
-        c3 = ops.mont_mul(eq_slope, Tinf)  # s_leading
-        if zero_check:
-            zero = jnp.zeros((NL,), jnp.int32)
-            T0, c0, e1 = zero, zero, zero
-        else:
-            T0 = ops.mont_mul(t0_raw, P)
-            c0 = ops.mont_mul(eq_0, T0)  # s(0)
-            e1 = ops.sub(claim, c0)  # s(1)
+        tm1_raw = None
         if fallback:
             # tau == 0: compute t(-1) directly with a third sum
             fm1 = grid(ops.sub(
@@ -390,28 +475,16 @@ class SumcheckProverCubicEq:
                              ops.sub(ops.double(B_l), B_h)),
                 ops.sub(ops.double(C_l), C_h)))
             _, tm1_raw = self._weighted_pair(EL, ER, None, fm1)
-            Tm1 = ops.mont_mul(tm1_raw, P)
-        else:
-            T1 = ops.mont_mul(e1, inv_tau)  # s(1)/(tau*P) * P
-            Tm1 = ops.sub(ops.add(ops.double(Tinf), ops.double(T0)), T1)
-        s_m1 = ops.mont_mul(eq_m1, Tm1)
-        c1 = ops.sub(ops.mul_const(ops.sub(e1, s_m1), half_const), c3)
-        c2 = ops.sub(ops.mul_const(ops.add(e1, s_m1), half_const), c0)
-        coeffs = jnp.stack([c0, c1, c2, c3], axis=1)
 
-        td = DeviceTranscript(ops, state=tstate,
-                              round=jnp.asarray(t_round, jnp.uint32))
-        absorb_unipoly(td, coeffs)
-        r = td.squeeze_mont(b"c")
-        new_claim = unipoly_eval_dev(ops, coeffs, r)
+        coeffs, r, new_claim, P_n, tstate = gruen_finish(
+            ops, zero_check, fallback, consts, t0_raw, tinf_raw, tm1_raw,
+            P, claim, tstate, t_round)
 
         rb = jnp.broadcast_to(r[:, None], (NL, half))
         A_n = ops.add(A_l, ops.mont_mul(rb, A_d))
         B_n = ops.add(B_l, ops.mont_mul(rb, B_d))
         C_n = ops.add(C_l, ops.mont_mul(rb, C_d))
-        eq_tau_r = ops.add(eq_0, ops.mont_mul(eq_slope, r))
-        P_n = ops.mont_mul(P, eq_tau_r)
-        return A_n, B_n, C_n, P_n, new_claim, r, coeffs, td.state
+        return A_n, B_n, C_n, P_n, new_claim, r, coeffs, tstate
 
     @functools.lru_cache(maxsize=None)
     def _step(self, spec_r: tuple):
@@ -446,56 +519,28 @@ class SumcheckProverCubicEq:
         of the scalar field.  Returns (coeffs list, r list,
         (A,B,C) finals, final claim) like SumcheckProverCubic.prove."""
         from ..field.limbs import ints_to_limbs_np
-        from ..polys.eq import eq_evals_host
 
         ops = self.ops
-        p = spec.modulus
         m = len(taus)
         assert A.shape[1] == 1 << m
-        fh = m // 2
 
         # ONE host->device upload for every per-round constant: the
         # tunneled link costs ~tens of ms per transfer, so per-round
-        # uploads would dominate the whole sum-check.  Flat-pack the
-        # round constants, the shared right table, the per-round left
-        # tables, and the second-half tails; rounds take static slices.
-        flat: list[int] = []
-        slices: dict = {}
-
-        def pack(key, vals):
-            slices[key] = (len(flat), len(flat) + len(vals))
-            flat.extend(vals)
-
-        for j in range(m):
-            tau = taus[j] % p
-            pack(("c", j), [(1 - tau) % p, (2 * tau - 1) % p,
-                            (2 - 3 * tau) % p,
-                            pow(tau, -1, p) if tau else 0])
-        pack("ER", eq_evals_host(spec, taus[fh:]))
-        for j in range(fh - 1):
-            pack(("EL", j), eq_evals_host(spec, taus[j + 1 : fh]))
-        for j in range(max(fh - 1, 0), m):
-            pack(("T", j), eq_evals_host(spec, taus[j + 1 :]))
+        # uploads would dominate the whole sum-check (gruen_pack).
+        flat, specs = gruen_pack(spec, taus, zero_check)
         flat_dev = jnp.asarray(ints_to_limbs_np(flat, spec, mont=True))
-
-        def spec_for(j):
-            tau = taus[j] % p
-            two_level = j < fh - 1
-            if two_level:
-                sl_el = slices[("EL", j)]
-                sl_er = slices["ER"]
-                el_len = sl_el[1] - sl_el[0]
-            else:
-                sl_el = (0, 0)
-                sl_er = slices[("T", j)]
-                el_len = 0
-            return (1 << (m - j), el_len, zero_check and j == 0, tau == 0,
-                    slices[("c", j)], sl_el, sl_er)
-
         P = ops.const(ops.spec.r_mod)  # running eq prefix, starts at ONE
+        return self.run_from(td, A, Bp, C, P, claim, flat_dev, specs, 0)
+
+    def run_from(self, td: DeviceTranscript, A, Bp, C, P, claim, flat_dev,
+                 specs: tuple, j0: int):
+        """Run rounds j0..m-1 given the flat constants upload and the
+        static round specs (gruen_pack).  Entry point for the sharded
+        prover's single-device tail (parallel/sumcheck_shard.py)."""
         coeffs_out, r_out = [], []
-        n = 1 << m
-        j = 0
+        m = len(specs)
+        j = j0
+        n = specs[j][0] if j < m else 2
         lap = tracing.level() >= 3  # per-round attribution (serializes!)
         if lap:
             import time
@@ -506,21 +551,21 @@ class SumcheckProverCubicEq:
             # fuse the whole tail into one kernel once rounds are small
             # and tau-nonzero (the tau==0 fallback stays per-round)
             if (n <= TAIL_FUSE_N and m - j > 1
-                    and all(taus[k] % p for k in range(j, m))):
-                specs = tuple(spec_for(k) for k in range(j, m))
-                A, Bp, C, P, claim, rs, cs, tstate = self._tail_fused(specs)(
+                    and not any(specs[k][3] for k in range(j, m))):
+                tail = tuple(specs[j:])
+                A, Bp, C, P, claim, rs, cs, tstate = self._tail_fused(tail)(
                     A, Bp, C, flat_dev, P, claim, td.state,
                     round_dev(int(td.round)))
                 td.state = tstate
-                td.round += len(specs)
+                td.round += len(tail)
                 coeffs_out.extend(cs)
                 r_out.extend(rs)
                 if lap:
                     jax.block_until_ready(A)
                     t_lap = tracing.lap(
-                        f"cubic_eq fused tail x{len(specs)} (n={n})", t_lap)
+                        f"cubic_eq fused tail x{len(tail)} (n={n})", t_lap)
                 break
-            A, Bp, C, P, claim, r, coeffs, tstate = self._step(spec_for(j))(
+            A, Bp, C, P, claim, r, coeffs, tstate = self._step(specs[j])(
                 A, Bp, C, flat_dev, P, claim, td.state,
                 round_dev(int(td.round)))
             td.state = tstate

@@ -16,12 +16,15 @@ from spartan2_tpu.frontend.constraint_system import Num, lc, ONE
 from spartan2_tpu.parallel.mesh import make_mesh
 from spartan2_tpu.provider.engines import get_engine
 from spartan2_tpu.snark.spartan import SpartanSNARK
+from spartan2_tpu.utils.serde import spartan_proof_to_bytes
 
 
 class ChainCircuit:
-    '''x_{i+1} = x_i^2 chain with the final value public.'''
+    '''x_{i+1} = x_i^2 chain with the final value public.  N = 1000
+    makes num_cons ~2^10 so the sharded Gruen outer prover runs real
+    sharded rounds on an 8-chip mesh (el_len = 2^(m/2-1) >= 8).'''
 
-    N = 126
+    N = 1000
 
     def public_values(self):
         p = (1 << 255) * 0 + get_engine("PallasHyraxEngine").scalar.modulus
@@ -54,6 +57,13 @@ prep = SpartanSNARK.prep_prove(pk, circuit, rng=det(1))
 mesh = make_mesh(8)
 proof, _ = SpartanSNARK.prove(pk, circuit, prep, rng=det(2), mesh=mesh)
 assert SpartanSNARK.verify(proof, vk) == circuit.public_values()
+# the sharded Gruen rounds must be byte-identical to the single-device
+# Gruen engine (same flat constants, same finish algebra)
+prep1 = SpartanSNARK.prep_prove(pk, circuit, rng=det(1))
+proof1, _ = SpartanSNARK.prove(pk, circuit, prep1, rng=det(2))
+assert (spartan_proof_to_bytes(proof, engine)
+        == spartan_proof_to_bytes(proof1, engine)), \
+    "mesh proof differs from single-device proof"
 print("MESH_PROVE_OK")
 
 # row-sharded Hyrax commit == single-device comb MSM
