@@ -8,6 +8,8 @@ entry, perfectly lane-parallel.
 
 from __future__ import annotations
 
+import functools
+
 import jax.numpy as jnp
 
 from ..field.constants import FieldSpec
@@ -90,3 +92,17 @@ def eq_evals_device(ops: FieldOps, r: jnp.ndarray) -> jnp.ndarray:
         lo = ops.sub(evals, hi)
         evals = jnp.concatenate([lo, hi], axis=1)
     return evals
+
+
+@functools.lru_cache(maxsize=None)
+def _eq_table_jit(ops: FieldOps):
+    from ..utils.jitcache import cached_jit
+
+    return cached_jit(lambda r: eq_evals_device(ops, r))
+
+
+def eq_evals_device_oneshot(ops: FieldOps, r: jnp.ndarray) -> jnp.ndarray:
+    """eq table build as ONE jitted dispatch.  The eager loop above costs
+    ~3 tunnel dispatches per variable (~60 for a 2^20 table) plus an
+    unfused device op per step; standalone callers should use this."""
+    return _eq_table_jit(ops)(r)

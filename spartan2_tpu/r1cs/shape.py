@@ -279,34 +279,48 @@ class SplitR1CSShape:
         return self._mv_pre_jit(z_prefix, d["A_pre"].prog, d["B_pre"].prog,
                                 d["C_pre"].prog)
 
-    def multiply_vec_incremental_device(self, z_suffix: jnp.ndarray, cached):
+    def multiply_vec_incremental_device(self, W_full: jnp.ndarray,
+                                        tail: jnp.ndarray, cached):
         """cached prefix products + filtered SpMV over the suffix columns
         (rest witness, ONE, public IO, challenges) — the reference's
         multiply_vec_incremental_into (r1cs/mod.rs:1170-1211).
-        ``z_suffix``: (NL, num_cols - prefix)."""
+
+        ``W_full``: (NL, num_vars) witness planes; ``tail``: (NL,
+        1 + num_public + num_challenges).  The suffix z slice is
+        assembled INSIDE the kernel (slice + concat as eager ops each
+        cost a tunnel dispatch and a full HBM materialization)."""
         from .sparse import spmv_apply
 
         d = self._device
         ops = self._ops
+        lo = self.num_shared + self.num_precommitted
         if self._mv_inc_jit is None:
-            def f(z, ca, cb, cc, pa, pb, pc):
+            def f(W, tail, ca, cb, cc, pa, pb, pc):
+                z = jnp.concatenate([W[:, lo:], tail], axis=1)
                 return (ops.add(ca, spmv_apply(ops, pa, z)),
                         ops.add(cb, spmv_apply(ops, pb, z)),
                         ops.add(cc, spmv_apply(ops, pc, z)))
             self._mv_inc_jit = cached_jit(f)
-        return self._mv_inc_jit(z_suffix, *cached, d["A_sfx"].prog,
+        return self._mv_inc_jit(W_full, tail, *cached, d["A_sfx"].prog,
                                 d["B_sfx"].prog, d["C_sfx"].prog)
 
-    def bind_and_prepare_poly_ABC_device(self, eq_rx: jnp.ndarray,
+    def bind_and_prepare_poly_ABC_device(self, rx_stack: jnp.ndarray,
                                          r_mont: jnp.ndarray) -> jnp.ndarray:
-        """poly_ABC[j] = sum_i eq_rx[i] * (A+rB+r^2C)[i,j] over the
-        2*num_vars domain (reference r1cs/mod.rs:1235-1398)."""
+        """poly_ABC[j] = sum_i eq(r_x, i) * (A+rB+r^2C)[i,j] over the
+        2*num_vars domain (reference r1cs/mod.rs:1235-1398).
+
+        ``rx_stack``: (NL, m) Montgomery r_x points.  The 2^m eq table is
+        built INSIDE the kernel: built eagerly it cost ~3 tunnel
+        dispatches per variable — the dominant phase of the round-2
+        warm prove (PROFILE.md round 3)."""
         from .sparse import spmv_apply
+        from ..polys.eq import eq_evals_device
 
         d = self._device
         ops = self._ops
         if self._abc_jit is None:
-            def f(eq, r, pa, pb, pc):
+            def f(rx, r, pa, pb, pc):
+                eq = eq_evals_device(ops, rx)
                 a = spmv_apply(ops, pa, eq)
                 b = spmv_apply(ops, pb, eq)
                 c = spmv_apply(ops, pc, eq)
@@ -314,7 +328,7 @@ class SplitR1CSShape:
                 rb = jnp.broadcast_to(r[:, None], (NL, nvars2))
                 return ops.add(a, ops.mont_mul(rb, ops.add(b, ops.mont_mul(rb, c))))
             self._abc_jit = cached_jit(f)
-        return self._abc_jit(eq_rx, r_mont, d["At"].prog, d["Bt"].prog,
+        return self._abc_jit(rx_stack, r_mont, d["At"].prog, d["Bt"].prog,
                              d["Ct"].prog)
 
     # ------------------------------------------------------------------

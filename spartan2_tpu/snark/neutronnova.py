@@ -714,12 +714,11 @@ class NeutronNovaZkSNARK:
                 (ABC_s, z_folded), (ABC_c, z_core_v), inner_challenge)
             eval_Z_step, eval_Z_core = finals[2], finals[3]
         else:
-            eq_rx = eq_evals_device(
-                ops, jnp.asarray(ints_to_limbs_np(r_x, field, mont=True)))
+            rx_stack = jnp.asarray(ints_to_limbs_np(r_x, field, mont=True))
             r_mont = jnp.asarray(
                 ints_to_limbs_np([r], field, mont=True))[:, 0]
-            ABC_s = pk.S_step.bind_and_prepare_poly_ABC_device(eq_rx, r_mont)
-            ABC_c = pk.S_core.bind_and_prepare_poly_ABC_device(eq_rx, r_mont)
+            ABC_s = pk.S_step.bind_and_prepare_poly_ABC_device(rx_stack, r_mont)
+            ABC_c = pk.S_core.bind_and_prepare_poly_ABC_device(rx_stack, r_mont)
 
             def zdev(W_plane, X):
                 tail = jnp.asarray(

@@ -416,15 +416,14 @@ class SpartanSNARK:
             )
             sp.sync(W.W)
 
-        # z = (W, 1, public, challenges), zero-padded to 2 * num_vars —
-        # built on DEVICE from the witness planes; only the tiny IO tail
-        # is uploaded per proof
+        # z = (W, 1, public, challenges): only the tiny IO tail is
+        # uploaded per proof; consumers (suffix SpMV, inner round 0)
+        # assemble their z views INSIDE their kernels — eager slices/
+        # concats of 2^21-wide planes each cost a tunnel dispatch and a
+        # full HBM pass
         num_vars = S.num_vars
         tail_vals = [1] + U.public_values + U.challenges
         tail = _upload_mont(engine, tail_vals)
-        pad = jnp.zeros((NL, 2 * num_vars - num_vars - len(tail_vals)),
-                        jnp.int32)
-        z = jnp.concatenate([W.W, tail, pad], axis=1)
 
         num_rounds_x = _log2(S.num_cons)
         num_rounds_y = _log2(num_vars) + 1
@@ -432,12 +431,14 @@ class SpartanSNARK:
         taus = [transcript.squeeze(b"t") for _ in range(num_rounds_x)]
 
         with span("matrix_vector_multiply") as sp:
-            lo = S.num_shared + S.num_precommitted
             if prep.ps.matvec_cache is not None:
                 Az, Bz, Cz = S.multiply_vec_incremental_device(
-                    z[:, lo : S.num_cols], prep.ps.matvec_cache)
+                    W.W, tail, prep.ps.matvec_cache)
             else:
-                Az, Bz, Cz = S.multiply_vec_device(z[:, : S.num_cols])
+                pad_c = jnp.zeros(
+                    (NL, S.num_cols - num_vars - len(tail_vals)), jnp.int32)
+                Az, Bz, Cz = S.multiply_vec_device(
+                    jnp.concatenate([W.W, tail, pad_c], axis=1))
             sp.sync(Az, Bz, Cz)
 
         # ---- outer sum-check (device rounds, device transcript) ----
@@ -478,10 +479,12 @@ class SpartanSNARK:
         r = transcript.squeeze(b"r")
         claim_inner = (claim_Az + r * claim_Bz + r * r * claim_Cz) % p
 
-        eq_rx = eq_evals_device(ops, jnp.stack(r_x_dev, axis=1))
         r_mont = _upload_mont(engine, [r])[:, 0]
         with span("prepare_poly_ABC") as sp:
-            poly_ABC = S.bind_and_prepare_poly_ABC_device(eq_rx, r_mont)
+            # the eq(r_x) table is built inside the kernel from the
+            # device-resident challenges — no host round trip, ONE dispatch
+            poly_ABC = S.bind_and_prepare_poly_ABC_device(
+                jnp.stack(r_x_dev, axis=1), r_mont)
             sp.sync(poly_ABC)
 
         num_extra = 1 + S.num_public + S.num_challenges
@@ -491,7 +494,7 @@ class SpartanSNARK:
         claim_dev = _upload_mont(engine, [claim_inner])[:, 0]
         with span("inner_round0") as sp:
             abc_b, z_b, claim_dev, r0_dev, coeffs_r0 = inner0.run(
-                td, poly_ABC, z, claim_dev, num_vars, num_extra
+                td, poly_ABC, W.W, tail, claim_dev, num_vars, num_extra
             )
             sp.sync(abc_b, z_b)
         prover_quad = get_quad_prover(ops)

@@ -213,7 +213,8 @@ class SpartanZkSNARK:
                             jnp.int32)
             z_dev = jnp.concatenate([W.W, tail, pad], axis=1)
             Az, Bz, Cz = S.multiply_vec_device(z_dev[:, : S.num_cols])
-            E = eq_evals_device(
+            from ..polys.eq import eq_evals_device_oneshot
+            E = eq_evals_device_oneshot(
                 ops, jnp.asarray(ints_to_limbs_np(taus, field, mont=True)))
 
             def outer_challenge_dev(i: int, unis) -> int:
@@ -287,10 +288,9 @@ class SpartanZkSNARK:
             r_y = [r0] + r_y_rest
             eval_Z = finals_inner[1]
         else:
-            eq_rx = eq_evals_device(
-                ops, jnp.asarray(ints_to_limbs_np(r_x, field, mont=True)))
+            rx_stack = jnp.asarray(ints_to_limbs_np(r_x, field, mont=True))
             r_mont = jnp.asarray(ints_to_limbs_np([r], field, mont=True))[:, 0]
-            abc_dev = S.bind_and_prepare_poly_ABC_device(eq_rx, r_mont)
+            abc_dev = S.bind_and_prepare_poly_ABC_device(rx_stack, r_mont)
 
             round0 = get_zk_inner_round0(ops)
             abc_k = abc_dev[:, None, :]

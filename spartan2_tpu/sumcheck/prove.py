@@ -605,7 +605,12 @@ class SpartanInnerRound0:
     def _step(self, num_vars: int, num_extra: int):
         ops = self.ops
 
-        def step(abc, z, claim, tstate, t_round):
+        def step(abc, W, tail, claim, tstate, t_round):
+            # z = (W, 1, public, challenges, 0...) assembled in-kernel:
+            # an eager 2^21-wide concat costs a dispatch + an HBM pass
+            pad = jnp.zeros(
+                (NL, 2 * num_vars - W.shape[1] - tail.shape[1]), jnp.int32)
+            z = jnp.concatenate([W, tail, pad], axis=1)
             abc_lo, abc_hi = abc[:, :num_vars], abc[:, num_vars:]
             z_lo, z_hi = z[:, :num_vars], z[:, num_vars:]
             eval0 = ops.sum_products(abc_lo, z_lo)
@@ -640,9 +645,11 @@ class SpartanInnerRound0:
 
         return cached_jit(step)
 
-    def run(self, td: DeviceTranscript, abc, z, claim, num_vars: int, num_extra: int):
+    def run(self, td: DeviceTranscript, abc, W, tail, claim,
+            num_vars: int, num_extra: int):
         step = self._step(num_vars, num_extra)
-        abc, z, claim, r0, coeffs, tstate = step(abc, z, claim, td.state,
+        abc, z, claim, r0, coeffs, tstate = step(abc, W, tail, claim,
+                                                 td.state,
                                                  round_dev(int(td.round)))
         td.state = tstate
         td.round += 1
