@@ -9,12 +9,12 @@ Design notes:
   * Formulas are branch-free: every add also evaluates the doubling case
     and selects per lane with ``jnp.where`` (complete addition at ~2x the
     incomplete cost, the standard SIMD trade).  Infinity is Z == 0 mod p.
-  * ``msm``: per-lane double-and-add ladders batched over all points, then
-    a log-depth tree reduction — total work O(bits * n) point-ops but in
-    perfectly regular n-lane batches.  Bucket-style Pippenger relies on
-    data-dependent scatter, which SIMD hardware hates; the lane-parallel
-    ladder is the TPU-shaped equivalent.  (Reference: Pippenger at
-    msm.rs:59-222.)
+  * ``msm``/``msm_rows``: windowed MSM — per-lane 2^w multiple tables,
+    one gathered lane-sum per digit window, a single Horner doubling
+    ladder.  Bucket-style Pippenger relies on data-dependent scatter,
+    which SIMD hardware hates; the gather-based window sum is the
+    TPU-shaped equivalent at the same asymptotic op count.
+    (Reference: Pippenger at msm.rs:59-222.)
   * ``msm_small`` / ``msm_binary``: the reference's small-scalar dispatch
     (msm.rs:418-620) — witness vectors are mostly bits, so the ladder
     shortens to 64 or 1 bit-iterations.
@@ -303,29 +303,96 @@ class DeviceCurve:
         inf = self.infinity((m - n,))
         return tuple(jnp.concatenate([c, i], axis=1) for c, i in zip(P, inf))
 
-    def _msm_impl(self, scalars_canon: jnp.ndarray, Qx: jnp.ndarray,
-                  Qy: jnp.ndarray, nbits: int,
-                  complete_tree: bool = False) -> Point:
-        n = scalars_canon.shape[1]
-        acc = self.infinity((n,))
+    # ------------------------------------------------------------------
+    # windowed MSM over runtime points (reference signed-digit Pippenger,
+    # msm.rs:59-178, recast for SIMD): per-lane 2^w multiple tables, one
+    # gathered lane-sum per digit window, then a SINGLE Horner ladder of
+    # `nbits` doublings — vs the old per-lane double-and-add whose
+    # 264 doublings and 264 conditional adds ran on EVERY lane.
+    # Point-op count: n*(2^w-2) table adds + n*ceil(nbits/w) window adds
+    # + nbits doublings total, ~6x fewer than the ladder at w=4.
+    # w divides LIMB_BITS so digits never straddle limb planes.
+    MSM_WINDOW = 4
 
-        def body(i, acc):
-            bit_idx = nbits - 1 - i
-            limb = bit_idx // LIMB_BITS
-            sh = bit_idx % LIMB_BITS
-            bit = (scalars_canon[limb] >> sh) & 1
-            acc = self.dbl(acc)
-            added = self.add_mixed_incomplete(acc, Qx, Qy)
-            return self._sel(bit == 1, added, acc)
+    def _digits(self, sc: jnp.ndarray, n_windows: int) -> jnp.ndarray:
+        """(NL, *batch) canonical limbs -> (n_windows, *batch) int32
+        digits, LSB window first."""
+        w = self.MSM_WINDOW
+        outs = []
+        for k in range(n_windows):
+            bit = w * k
+            outs.append((sc[bit // LIMB_BITS] >> (bit % LIMB_BITS))
+                        & ((1 << w) - 1))
+        return jnp.stack(outs, axis=0)
 
-        acc = jax.lax.fori_loop(0, nbits, body, acc)
-        s = self.tree_sum(self._pad_pow2(acc), complete=complete_tree)
-        return tuple(c[:, 0] for c in s)
+    def _table(self, Qx: jnp.ndarray, Qy: jnp.ndarray) -> Point:
+        """Per-lane multiples [0*Q .. (2^w-1)*Q]: coords (NL, 2^w, *batch).
+
+        T[2] via dbl (the v-1 == 1 add would hit the incomplete equal
+        case); higher entries via mixed adds — (v-1)Q == Q needs
+        (v-2)Q == 0, impossible on a prime-order curve."""
+        batch = Qx.shape[1:]
+        one = self.fb.const(self.fb.spec.r_mod, batch)
+        P1 = (Qx, Qy, one)
+        P2 = self.dbl(P1)
+        inf = self.infinity(batch)
+        nT = 1 << self.MSM_WINDOW
+
+        def init(c_inf, c1, c2):
+            z = jnp.zeros((NL, nT) + tuple(batch), I32)
+            return z.at[:, 0].set(c_inf).at[:, 1].set(c1).at[:, 2].set(c2)
+
+        T = tuple(init(ci, c1, c2) for ci, c1, c2 in zip(inf, P1, P2))
+
+        def body(v, T):
+            prev = tuple(
+                jax.lax.dynamic_index_in_dim(c, v - 1, axis=1, keepdims=False)
+                for c in T)
+            nxt = self.add_mixed_incomplete(prev, Qx, Qy)
+            return tuple(
+                jax.lax.dynamic_update_index_in_dim(c, x, v, axis=1)
+                for c, x in zip(T, nxt))
+
+        return jax.lax.fori_loop(3, nT, body, T)
+
+    def _msm_windowed(self, sc: jnp.ndarray, Qx: jnp.ndarray,
+                      Qy: jnp.ndarray, nbits: int,
+                      complete_tree: bool) -> Point:
+        """Shared windowed core: reduces the LAST batch axis.
+        sc/Qx/Qy: (NL, *batch); returns coords (NL, *batch[:-1])."""
+        w = self.MSM_WINDOW
+        nw = -(-nbits // w)
+        batch = tuple(Qx.shape[1:])
+        T = self._table(Qx, Qy)  # (NL, 2^w, *batch)
+        digits = self._digits(sc, nw)  # (nw, *batch)
+        # digit lookup as 2^w - 1 masked selects: data-dependent gathers
+        # are hostile to the vector units (XLA tags both backends
+        # prefer-no-gather); the select chain is branch-free lanes
+        G = tuple(jnp.broadcast_to(c[:, 0:1], (NL, nw) + batch) for c in T)
+        for v in range(1, 1 << w):
+            mask = (digits == v)[None]
+            G = tuple(jnp.where(mask, c[:, v : v + 1], g)
+                      for c, g in zip(T, G))
+        # per-window sums across the last (lane) axis: (NL, nw, *batch[:-1])
+        S = tuple(c[..., 0] for c in self.lane_sum(G, complete=complete_tree))
+
+        addf = self.add if complete_tree else self.add_incomplete
+
+        def horner(i, acc):
+            for _ in range(w):
+                acc = self.dbl(acc)
+            Sw = tuple(
+                jax.lax.dynamic_index_in_dim(c, nw - 1 - i, axis=1,
+                                             keepdims=False) for c in S)
+            return addf(acc, Sw)
+
+        acc = self.infinity(batch[:-1])
+        return jax.lax.fori_loop(0, nw, horner, acc)
 
     @functools.lru_cache(maxsize=None)
     def _msm_jit(self, nbits: int, complete_tree: bool = False):
         return cached_jit(
-            lambda s, x, y: self._msm_impl(s, x, y, nbits, complete_tree))
+            lambda s, x, y: self._msm_windowed(s, x, y, nbits, complete_tree))
 
     def msm(self, scalars_canon: jnp.ndarray, Qx: jnp.ndarray, Qy: jnp.ndarray,
             nbits: int = NUM_LIMBS * LIMB_BITS,
@@ -349,21 +416,7 @@ class DeviceCurve:
     def _msm_rows_jit(self, nbits: int, complete: bool):
         def f(sc, Qx, Qy):
             # sc/Qx/Qy: (NL, R, I) — R independent MSMs sharing a kernel
-            R, I = sc.shape[1], sc.shape[2]
-            acc = self.infinity((R, I))
-
-            def body(i, acc):
-                bit_idx = nbits - 1 - i
-                limb = bit_idx // LIMB_BITS
-                sh = bit_idx % LIMB_BITS
-                bit = (sc[limb] >> sh) & 1
-                acc = self.dbl(acc)
-                added = self.add_mixed_incomplete(acc, Qx, Qy)
-                return self._sel(bit == 1, added, acc)
-
-            acc = jax.lax.fori_loop(0, nbits, body, acc)
-            acc = self.lane_sum(acc, complete)
-            return tuple(c[:, :, 0] for c in acc)
+            return self._msm_windowed(sc, Qx, Qy, nbits, complete)
 
         return cached_jit(f)
 

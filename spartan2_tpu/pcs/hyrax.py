@@ -130,7 +130,6 @@ class HyraxPCS:
         self.curve = curve
         self.dc = dc
         self.fs = fs  # scalar-field ops (witness values live here)
-        self._row_kernel_cache: dict = {}
 
     # ------------------------------------------------------------------
     # setup / blind
@@ -148,36 +147,6 @@ class HyraxPCS:
     # ------------------------------------------------------------------
     # commit
     # ------------------------------------------------------------------
-    def _rows_msm(self, ck: HyraxCommitmentKey, v_canon_rows: jnp.ndarray,
-                  nbits: int) -> Point:
-        """(NL, R, C) canonical scalars -> (NL, R) row MSM points."""
-        dc = self.dc
-        R, C = v_canon_rows.shape[1], v_canon_rows.shape[2]
-        key = (R, C, nbits)
-        if key not in self._row_kernel_cache:
-            from ..field.constants import LIMB_BITS
-
-            def kernel(scal, Qx, Qy):
-                Qxb = Qx[:, None, :]
-                Qyb = Qy[:, None, :]
-                acc = dc.infinity((R, C))
-
-                def body(i, acc):
-                    bit_idx = nbits - 1 - i
-                    limb = bit_idx // LIMB_BITS
-                    sh = bit_idx % LIMB_BITS
-                    bit = (scal[limb] >> sh) & 1
-                    acc = dc.dbl(acc)
-                    added = dc.add_mixed_incomplete(acc, Qxb, Qyb)
-                    return dc._sel(bit == 1, added, acc)
-
-                acc = jax.lax.fori_loop(0, nbits, body, acc)
-                acc = dc.lane_sum(acc)  # reduce the column axis
-                return tuple(c[:, :, 0] for c in acc)
-
-            self._row_kernel_cache[key] = cached_jit(kernel)
-        return self._row_kernel_cache[key](v_canon_rows, ck._Qx, ck._Qy)
-
     def commit_raw(self, ck: HyraxCommitmentKey, v_mont: jnp.ndarray,
                    is_small: bool = False):
         """Unblinded row MSMs as device Jacobian planes (the reference's
@@ -607,6 +576,34 @@ class HyraxPCS:
             out.append(self._msm_auto(list(weights), pts,
                                       adversarial_points=True))
         return HyraxCommitment(out)
+
+    def fold_commitments_partial(self, comms: list[HyraxCommitment],
+                                 weights: list[int], num_data_rows: int,
+                                 folded_blind: HyraxBlind,
+                                 ck: HyraxCommitmentKey) -> HyraxCommitment:
+        """Fold only the data rows via MSM; rest rows are blind-only
+        (each instance's rest row is a commit-to-zeros = blind_k * h),
+        so folded[row] = folded_blind[row] * h — field-folded blinds
+        replace an N-point MSM per rest row (hyrax_pc.rs:821-874)."""
+        if not comms or len(comms) != len(weights):
+            raise InvalidInputLengthError("fold_commitments_partial: bad input")
+        total_rows = len(comms[0].comm)
+        if num_data_rows > total_rows:
+            raise InvalidInputLengthError(
+                f"fold_commitments_partial: num_data_rows {num_data_rows} "
+                f"exceeds total_rows {total_rows}")
+        if num_data_rows >= total_rows:
+            return self.fold_commitments(comms, weights)
+        data = [HyraxCommitment(cm.comm[:num_data_rows]) for cm in comms]
+        folded_data = self.fold_commitments(data, weights)
+        rest_blinds = folded_blind.blind[num_data_rows:]
+        if len(rest_blinds) >= 8:
+            arr = jnp.asarray(
+                ints_to_limbs_np(rest_blinds, self.curve.scalar, mont=False))
+            rest = self.dc.to_affine_host(ck.comb_h().rows_msm(arr[:, :, None]))
+        else:
+            rest = [self.curve.scalar_mul(b, ck.h) for b in rest_blinds]
+        return HyraxCommitment(folded_data.comm + rest)
 
     def fold_blinds(self, blinds: list[HyraxBlind], weights: list[int]) -> HyraxBlind:
         if len(blinds) != len(weights) or not blinds:

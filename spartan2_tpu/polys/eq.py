@@ -94,11 +94,40 @@ def eq_evals_device(ops: FieldOps, r: jnp.ndarray) -> jnp.ndarray:
     return evals
 
 
+def pow_evals_device(ops: FieldOps, g: jnp.ndarray) -> jnp.ndarray:
+    """Build the (NL, 2^ell) power table [t^k] on device from the
+    (NL, ell) stack of Montgomery generator powers g[:, j] = t^(2^(ell-1-j))
+    (PowPolynomial, power.rs:18-31: same doubling structure as the eq
+    table but with lo factor 1).  Entry k's bit ell-1-j selects whether
+    g[:, j] multiplies in, so table[k] = t^k with k's MSB driven by
+    g[:, 0] — matching pow_evaluate's bind convention."""
+    ell = g.shape[1]
+    evals = ops.const(ops.spec.r_mod, (1,))  # [ONE]
+    for j in range(ell - 1, -1, -1):
+        gj = jnp.broadcast_to(g[:, j : j + 1], evals.shape)
+        evals = jnp.concatenate([evals, ops.mont_mul(evals, gj)], axis=1)
+    return evals
+
+
 @functools.lru_cache(maxsize=None)
 def _eq_table_jit(ops: FieldOps):
     from ..utils.jitcache import cached_jit
 
     return cached_jit(lambda r: eq_evals_device(ops, r))
+
+
+@functools.lru_cache(maxsize=None)
+def _pow_table_jit(ops: FieldOps):
+    from ..utils.jitcache import cached_jit
+
+    return cached_jit(lambda g: pow_evals_device(ops, g))
+
+
+def pow_evals_device_oneshot(ops: FieldOps, g: jnp.ndarray) -> jnp.ndarray:
+    """Power table build as ONE jitted dispatch (ell Montgomery scalars
+    uploaded instead of the 2^ell host-side table the NeutronNova NIFS
+    previously converted and shipped per prove)."""
+    return _pow_table_jit(ops)(g)
 
 
 def eq_evals_device_oneshot(ops: FieldOps, r: jnp.ndarray) -> jnp.ndarray:

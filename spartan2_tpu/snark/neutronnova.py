@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import hashlib
 import os
-from dataclasses import dataclass
+from dataclasses import dataclass, field as dfield
 
 import jax.numpy as jnp
 
@@ -37,6 +37,7 @@ from ..polys.eq import (
     eq_evals_host,
     eq_evaluate,
     pow_evaluate,
+    pow_evals_device_oneshot,
     pow_split_evals_host,
 )
 from ..polys.multilinear import sparse_poly_evaluate_host
@@ -89,6 +90,39 @@ def suffix_weight(field, t: int, ell_b: int, pair_idx: int,
     return w
 
 
+def nifs_finish_round(field, state: dict, rho_t: int, e0: int,
+                      quad: int) -> list[int]:
+    """finish_round rho algebra (neutronnova_zk.rs:703-735): derive the
+    round's cubic coefficients from the (e0, quad) sums and the running
+    claim ``state['T_cur']``/``state['acc_eq']``.  Raises on a zero rho
+    challenge (division by rho)."""
+    p = field.modulus
+    one_minus_rho = (1 - rho_t) % p
+    two_rho_minus_one = (rho_t - one_minus_rho) % p
+    c = e0 * state["acc_eq"] % p
+    a = quad * state["acc_eq"] % p
+    if rho_t % p == 0:
+        raise SpartanError("zero rho challenge")
+    a_b_c = (state["T_cur"] - c * one_minus_rho) * pow(rho_t, -1, p) % p
+    b = (a_b_c - a - c) % p
+    return [
+        c * one_minus_rho % p,
+        (c * two_rho_minus_one + b * one_minus_rho) % p,
+        (b * two_rho_minus_one + a * one_minus_rho) % p,
+        a * two_rho_minus_one % p,
+    ]
+
+
+def nifs_update_state(field, state: dict, coeffs: list[int], rho_t: int,
+                      r_b: int) -> None:
+    """Advance the running claim past challenge r_b."""
+    p = field.modulus
+    one_minus_rho = (1 - rho_t) % p
+    state["acc_eq"] = (state["acc_eq"]
+                       * ((1 - r_b) * one_minus_rho + r_b * rho_t) % p)
+    state["T_cur"] = UniPoly(field, coeffs).evaluate(r_b)
+
+
 # ---------------------------------------------------------------------------
 # keys / prep / proof
 # ---------------------------------------------------------------------------
@@ -123,6 +157,11 @@ class NeutronNovaVerifierKey:
 class NeutronNovaPrep:
     ps_step: list
     ps_core: object
+    # transient device caches (reference prep-time matvec/i64 caching,
+    # neutronnova_zk.rs:1524-1603): filled by the first prove when the
+    # step circuit takes no challenges (witnesses then identical across
+    # proves); never serialized
+    cache: dict = dfield(default_factory=dict)
 
 
 @dataclass
@@ -186,8 +225,7 @@ class NeutronNovaNIFS:
             B_layers.append(S.B.multiply_vec_host(z))
             C_layers.append(S.C.multiply_vec_host(z))
 
-        T_cur = 0
-        acc_eq = 1
+        state = {"T_cur": 0, "acc_eq": 1}
         r_bs: list[int] = []
         m = n_padded
         for t in range(ell_b):
@@ -205,27 +243,11 @@ class NeutronNovaNIFS:
                 e0 = (e0 + w * se0) % p
                 quad = (quad + w * squad) % p
 
-            # finish_round algebra
-            rho_t = rhos[t]
-            one_minus_rho = (1 - rho_t) % p
-            two_rho_minus_one = (rho_t - one_minus_rho) % p
-            c = e0 * acc_eq % p
-            a = quad * acc_eq % p
-            if rho_t % p == 0:
-                raise SpartanError("zero rho challenge")
-            a_b_c = (T_cur - c * one_minus_rho) * pow(rho_t, -1, p) % p
-            b = (a_b_c - a - c) % p
-            coeffs = [
-                c * one_minus_rho % p,
-                (c * two_rho_minus_one + b * one_minus_rho) % p,
-                (b * two_rho_minus_one + a * one_minus_rho) % p,
-                a * two_rho_minus_one % p,
-            ]
+            coeffs = nifs_finish_round(field, state, rhos[t], e0, quad)
             vc.nifs_polys[t] = list(coeffs)
             r_b = vc_state.process_round(pcs, vc_ck, vc, t, transcript, rng)[0]
             r_bs.append(r_b)
-            acc_eq = acc_eq * ((1 - r_b) * one_minus_rho + r_b * rho_t) % p
-            T_cur = UniPoly(field, coeffs).evaluate(r_b)
+            nifs_update_state(field, state, coeffs, rhos[t], r_b)
 
             # fold layers
             for layers in (A_layers, B_layers, C_layers):
@@ -236,8 +258,8 @@ class NeutronNovaNIFS:
                 del layers[pairs:]
             m = pairs
 
-        t_out = T_cur * pow(acc_eq, -1, p) % p
-        eq_rho_at_rb = acc_eq  # == eq(rhos, r_bs)
+        t_out = state["T_cur"] * pow(state["acc_eq"], -1, p) % p
+        eq_rho_at_rb = state["acc_eq"]  # == eq(rhos, r_bs)
         vc.t_out_step = t_out
         vc.eq_rho_at_rb = eq_rho_at_rb
 
@@ -266,7 +288,8 @@ class NeutronNovaNIFS:
     def prove_device(engine: Engine, S: SplitR1CSShape, Us: list[R1CSInstance],
                      Ws: list[R1CSWitnessHost], Ws_dev: list,
                      vc: NeutronNovaVerifierCircuit,
-                     vc_state: MultiRoundState, vc_ck, transcript, rng=None):
+                     vc_state: MultiRoundState, vc_ck, transcript, rng=None,
+                     ck=None, cache: dict | None = None):
         """Device NIFS: the (instance, constraint) grid lives on the TPU
         as (NL, I, num_cons) limb planes; per round one fused kernel
         computes the weighted (e0, quad) sums and folds the instance
@@ -299,48 +322,39 @@ class NeutronNovaNIFS:
         transcript.absorb_scalar(b"T", 0)
 
         ell_cons = _log2(S.num_cons)
-        ell1 = -(-ell_cons // 2)
-        left, right = 1 << ell1, 1 << (ell_cons // 2)
         tau = transcript.squeeze(b"tau")
-        e_left, e_right = pow_split_evals_host(field, tau, ell_cons, left, right)
-        E_eq = [e_left[k % left] * e_right[k // left] % p
-                for k in range(left * right)]
         rhos = [transcript.squeeze(b"rho") for _ in range(ell_b)]
 
-        # (NL, I, num_cols) z planes: device witness + uploaded tails
-        z_stack = jnp.stack([
-            jnp.concatenate([
-                Wd, jnp.asarray(ints_to_limbs_np([1] + U.X, field, mont=True))
+        # E = [tau^k] built ON DEVICE from ell_cons uploaded generator
+        # powers (the split_evals outer product E[k] = left[k%L]*right[k//L]
+        # collapses to tau^k, power.rs:65-86); the host previously
+        # converted and shipped the whole 2^ell table per prove
+        gs = [pow(tau, 1 << (ell_cons - 1 - j), p) for j in range(ell_cons)]
+        E_dev = pow_evals_device_oneshot(
+            ops, jnp.asarray(ints_to_limbs_np(gs, field, mont=True)))
+
+        if cache is not None and "ABC" in cache:
+            Az, Bz, Cz = cache["ABC"]
+        else:
+            # (NL, I, num_cols) z planes: device witness + uploaded tails
+            z_stack = jnp.stack([
+                jnp.concatenate([
+                    Wd,
+                    jnp.asarray(ints_to_limbs_np([1] + U.X, field, mont=True))
+                ], axis=1)
+                for U, Wd in zip(Us, Ws_dev)
             ], axis=1)
-            for U, Wd in zip(Us, Ws_dev)
-        ], axis=1)
-        Az, Bz, Cz = S.multiply_vec_batched_device(z_stack)
-        E_dev = jnp.asarray(ints_to_limbs_np(E_eq, field, mont=True))
+            Az, Bz, Cz = S.multiply_vec_batched_device(z_stack)
+            if cache is not None:
+                cache["ABC"] = (Az, Bz, Cz)
 
         state = {"T_cur": 0, "acc_eq": 1}
 
         def round_cb(t: int, e0: int, quad: int) -> int:
-            rho_t = rhos[t]
-            one_minus_rho = (1 - rho_t) % p
-            two_rho_minus_one = (rho_t - one_minus_rho) % p
-            c = e0 * state["acc_eq"] % p
-            a = quad * state["acc_eq"] % p
-            if rho_t % p == 0:
-                raise SpartanError("zero rho challenge")
-            a_b_c = ((state["T_cur"] - c * one_minus_rho)
-                     * pow(rho_t, -1, p) % p)
-            b = (a_b_c - a - c) % p
-            coeffs = [
-                c * one_minus_rho % p,
-                (c * two_rho_minus_one + b * one_minus_rho) % p,
-                (b * two_rho_minus_one + a * one_minus_rho) % p,
-                a * two_rho_minus_one % p,
-            ]
+            coeffs = nifs_finish_round(field, state, rhos[t], e0, quad)
             vc.nifs_polys[t] = list(coeffs)
             r_b = vc_state.process_round(pcs, vc_ck, vc, t, transcript, rng)[0]
-            state["acc_eq"] = (state["acc_eq"]
-                               * ((1 - r_b) * one_minus_rho + r_b * rho_t) % p)
-            state["T_cur"] = UniPoly(field, coeffs).evaluate(r_b)
+            nifs_update_state(field, state, coeffs, rhos[t], r_b)
             return r_b
 
         nifs_dev = get_nifs_rounds(ops)
@@ -349,7 +363,12 @@ class NeutronNovaNIFS:
         # gate instead of per-entry zero-and-correct (field/small_value.py)
         small = None
         if len(rhos) > 0 and os.environ.get("SPARTAN2_NN_SMALL", "1") != "0":
-            planes, ok = nifs_dev.to_small(field, Az, Bz, Cz)
+            if cache is not None and "small" in cache:
+                planes, ok = cache["small"]
+            else:
+                planes, ok = nifs_dev.to_small(field, Az, Bz, Cz)
+                if cache is not None:
+                    cache["small"] = (planes, ok)
             if ok:
                 small = planes
         r_bs, (AzF, BzF, CzF) = nifs_dev.run(field, Az, Bz, Cz, E_dev, rhos,
@@ -360,12 +379,34 @@ class NeutronNovaNIFS:
         vc.eq_rho_at_rb = state["acc_eq"]  # == eq(rhos, r_bs)
         vc_state.process_round(pcs, vc_ck, vc, ell_b, transcript, rng)
 
-        # fold witnesses (device) and instances (host scalars + comm MSM)
+        # fold witnesses (device) and instances (host scalars + comm MSM).
+        # Truncated-rest fast path (neutronnova_zk.rs:1217-1262): when the
+        # step circuit allocates nothing in the rest phase, the rest
+        # segment of every W is zero, so the fold only touches the
+        # shared+precommitted prefix and the rest rows of the folded
+        # commitment are blind-only (fold_commitments_partial).
         weights = weights_from_r(field, r_bs, n_padded)
-        W_fold_dev = nifs_dev.fold_witnesses(
-            field, jnp.stack(Ws_dev, axis=1), weights)
+        eff = S.num_shared + S.num_precommitted
+        truncate = (ck is not None and 0 < eff < S.num_vars
+                    and S.num_rest_unpadded == 0)
+        if truncate:
+            W_fold_eff = nifs_dev.fold_witnesses(
+                field, jnp.stack([w[:, :eff] for w in Ws_dev], axis=1),
+                weights)
+            W_fold_dev = jnp.concatenate(
+                [W_fold_eff,
+                 jnp.zeros((NL, S.num_vars - eff), jnp.int32)], axis=1)
+        else:
+            W_fold_dev = nifs_dev.fold_witnesses(
+                field, jnp.stack(Ws_dev, axis=1), weights)
         r_W_folded = pcs.fold_blinds([Wz.r_W for Wz in Ws], weights)
-        comm_folded = pcs.fold_commitments([U.comm_W for U in Us], weights)
+        if truncate:
+            num_data_rows = -(-eff // S.width)
+            comm_folded = pcs.fold_commitments_partial(
+                [U.comm_W for U in Us], weights, num_data_rows, r_W_folded,
+                ck)
+        else:
+            comm_folded = pcs.fold_commitments([U.comm_W for U in Us], weights)
         X_folded = [
             sum(w_i * U.X[j] for w_i, U in zip(weights, Us)) % p
             for j in range(len(Us[0].X))
@@ -641,7 +682,9 @@ class NeutronNovaZkSNARK:
             (E_dev, AzF, BzF, CzF, W_fold_dev, r_W_folded, folded_U, t_out,
              r_bs) = NeutronNovaNIFS.prove_device(
                 engine, pk.S_step, step_regular, step_witnesses, step_W_dev,
-                vc, vc_state, pk.vc_ck, transcript, rng)
+                vc, vc_state, pk.vc_ck, transcript, rng, ck=pk.ck,
+                cache=(prep.cache if pk.S_step.num_challenges == 0
+                       else None))
             folded_W = R1CSWitnessHost(W=None, r_W=r_W_folded)
 
             z_core_dev = jnp.concatenate([

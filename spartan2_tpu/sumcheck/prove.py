@@ -112,6 +112,14 @@ def absorb_unipoly(td: DeviceTranscript, coeffs: jnp.ndarray) -> None:
 # rounds' device work is microseconds
 TAIL_FUSE_N = 4096
 
+# ... but at most this many rounds per fused kernel: every fused round
+# embeds a Keccak absorb+squeeze, so an unbounded tail (12 rounds for a
+# 2^20 prove) lowered to ~6 MB of HLO whose executable was 277 MB and
+# took 30-60 s just to DESERIALIZE from the jit cache (round-2 verdict).
+# Two 6-round kernels cost one extra ~25 ms dispatch and cut both
+# compile and load time superlinearly.
+TAIL_FUSE_MAX_ROUNDS = 6
+
 
 def _bind_top(ops: FieldOps, arr: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
     """bind_poly_var_top: (NL, n) -> (NL, n/2) with a' = lo + r*(hi - lo)."""
@@ -362,18 +370,21 @@ class SumcheckProverQuad:
         while done < num_rounds:
             remaining = num_rounds - done
             if n <= TAIL_FUSE_N and remaining > 1:
+                k = min(remaining, TAIL_FUSE_MAX_ROUNDS)
                 A, Bp, claim, rs, cs, tstate = self._tail_fused(
-                    n, remaining)(A, Bp, claim, td.state,
-                                  round_dev(int(td.round)))
+                    n, k)(A, Bp, claim, td.state,
+                          round_dev(int(td.round)))
                 td.state = tstate
-                td.round += remaining
+                td.round += k
                 coeffs_out.extend(cs)
                 r_out.extend(rs)
                 if lap:
                     jax.block_until_ready(A)
                     t_lap = tracing.lap(
-                        f"quad fused tail x{remaining} (n={n})", t_lap)
-                break
+                        f"quad fused tail x{k} (n={n})", t_lap)
+                n >>= k
+                done += k
+                continue
             A, Bp, claim, r, coeffs, tstate = self._step(n)(
                 A, Bp, claim, td.state, round_dev(int(td.round)))
             td.state = tstate
@@ -548,11 +559,13 @@ class SumcheckProverCubicEq:
             jax.block_until_ready(flat_dev)
             t_lap = tracing.lap("cubic_eq upload flat", time.perf_counter())
         while j < m:
-            # fuse the whole tail into one kernel once rounds are small
-            # and tau-nonzero (the tau==0 fallback stays per-round)
+            # fuse small rounds into multi-round kernels (at most
+            # TAIL_FUSE_MAX_ROUNDS each); the tau==0 fallback stays
+            # per-round
+            j_hi = min(j + TAIL_FUSE_MAX_ROUNDS, m)
             if (n <= TAIL_FUSE_N and m - j > 1
-                    and not any(specs[k][3] for k in range(j, m))):
-                tail = tuple(specs[j:])
+                    and not any(specs[k][3] for k in range(j, j_hi))):
+                tail = tuple(specs[j:j_hi])
                 A, Bp, C, P, claim, rs, cs, tstate = self._tail_fused(tail)(
                     A, Bp, C, flat_dev, P, claim, td.state,
                     round_dev(int(td.round)))
@@ -564,7 +577,9 @@ class SumcheckProverCubicEq:
                     jax.block_until_ready(A)
                     t_lap = tracing.lap(
                         f"cubic_eq fused tail x{len(tail)} (n={n})", t_lap)
-                break
+                n >>= len(tail)
+                j = j_hi
+                continue
             A, Bp, C, P, claim, r, coeffs, tstate = self._step(specs[j])(
                 A, Bp, C, flat_dev, P, claim, td.state,
                 round_dev(int(td.round)))

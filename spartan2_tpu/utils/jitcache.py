@@ -46,6 +46,35 @@ _LOG = bool(os.environ.get("SPARTAN2_TPU_TRACE") or os.environ.get("SPARTAN2_JIT
 # (measured: 1.1 MB HLO -> 155 MB executable); past ~8 MB of HLO the
 # serialize alone runs minutes-to-hours, so don't persist those.
 _MAX_CACHE_HLO = int(os.environ.get("SPARTAN2_TPU_CACHE_MAX_HLO_MB", "8")) * 1_000_000
+# Total on-disk cap: kernel-shape churn across rounds left 7+ GB of
+# stale executables by round 2.  LRU by mtime — loads touch their entry,
+# so the active working set survives and dead shapes age out.
+_MAX_CACHE_GB = float(os.environ.get("SPARTAN2_TPU_CACHE_MAX_GB", "16"))
+
+
+def _evict_lru() -> None:
+    try:
+        entries = []
+        with os.scandir(_CACHE_DIR) as it:
+            for e in it:
+                if e.name.startswith("sp2-") and e.name.endswith(".bin"):
+                    st = e.stat()
+                    entries.append((st.st_mtime, st.st_size, e.path))
+        total = sum(sz for _, sz, _ in entries)
+        cap = _MAX_CACHE_GB * 1e9
+        if total <= cap:
+            return
+        for mtime, sz, path in sorted(entries):
+            try:
+                os.remove(path)
+                total -= sz
+                _log(f"evicted {os.path.basename(path)} ({sz / 1e6:.0f} MB)")
+            except OSError:
+                pass
+            if total <= cap:
+                break
+    except OSError:
+        pass
 
 
 def _log(msg: str) -> None:
@@ -146,6 +175,10 @@ class _CachedFn:
                 )
                 _log(f"{name}: loaded {os.path.getsize(path) / 1e6:.0f} MB "
                      f"cached exe in {time.time() - t0:.1f}s")
+                try:
+                    os.utime(path)  # LRU touch: keep the working set warm
+                except OSError:
+                    pass
                 return exe
             except Exception:
                 pass  # stale/incompatible entry: fall through to recompile
@@ -181,6 +214,7 @@ class _CachedFn:
                     os.replace(tmp, path)
                     _log(f"{name}: serialized {len(payload) / 1e6:.0f} MB "
                          f"in {time.time() - t1:.1f}s (background)")
+                    _evict_lru()
                 except Exception:
                     pass  # caching is best-effort
 

@@ -116,3 +116,35 @@ def test_device_msm_vs_host():
     bits = [rng.randrange(2) for _ in range(n)]
     got = dc.to_affine_host(dc.msm_binary(jnp.asarray(np.array(bits, np.int32)), Qx, Qy))[0]
     assert got == c.msm(bits, gens)
+
+    # complete tree (verifier-side variant) must agree
+    got = dc.to_affine_host(dc.msm(sc, Qx, Qy, complete_tree=True))[0]
+    assert got == c.msm(scalars, gens)
+
+    # edge scalars: zeros and window-boundary values exercise the
+    # infinity selects in the windowed table/Horner path
+    edge = [0, 1, 15, 16, (1 << 12) - 1, 1 << 12, c.scalar.modulus - 1, 0]
+    sc_e = jnp.asarray(ints_to_limbs_np(edge, c.scalar, mont=False))
+    got = dc.to_affine_host(dc.msm(sc_e, Qx, Qy))[0]
+    assert got == c.msm(edge, gens)
+
+
+def test_device_msm_rows_vs_host():
+    """msm_rows: R independent MSMs in one windowed kernel (the shape of
+    the reference's msm_shared_weights, msm.rs:228-356)."""
+    c = get_curve("pallas")
+    dc = DeviceCurve(c)
+    rng = random.Random(17)
+    R, I = 3, 4
+    gens = c.from_label(b"rows", R * I)
+    scalars = [rng.randrange(c.scalar.modulus) for _ in range(R * I)]
+    Qx = jnp.asarray(ints_to_limbs_np([g[0] for g in gens], c.base,
+                                      mont=True)).reshape(-1, R, I)
+    Qy = jnp.asarray(ints_to_limbs_np([g[1] for g in gens], c.base,
+                                      mont=True)).reshape(-1, R, I)
+    sc = jnp.asarray(ints_to_limbs_np(scalars, c.scalar,
+                                      mont=False)).reshape(-1, R, I)
+    got = dc.to_affine_host(dc.msm_rows(sc, Qx, Qy, complete_tree=True))
+    for r in range(R):
+        want = c.msm(scalars[r * I:(r + 1) * I], gens[r * I:(r + 1) * I])
+        assert got[r] == want

@@ -212,3 +212,44 @@ def test_spmv_row_density_guard():
     M = SparseMatrix.from_coo(F, entries, rows=1, cols=64)
     with pytest.raises(InvalidIndexError):
         DeviceSpMV.build(FieldOps(F), M, 1)
+
+
+def test_sparse_random_roundtrip_property():
+    """Randomized COO -> CSR -> iterate round-trip plus device-SpMV vs
+    host-SpMV equality across random shapes (the reference's proptest,
+    sparse.rs:660-672, as a seeded sweep)."""
+    import random
+
+    from spartan2_tpu.r1cs.sparse import DeviceSpMV, SparseMatrix
+
+    F = get_field("pallas_scalar")
+    ops = FieldOps(F)
+    p = F.modulus
+    for seed in range(5):
+        rng = random.Random(100 + seed)
+        rows = rng.randrange(1, 17)
+        cols = rng.randrange(1, 33)
+        nnz = rng.randrange(0, rows * cols + 1)
+        seen = set()
+        entries = []
+        for _ in range(nnz):
+            r, c = rng.randrange(rows), rng.randrange(cols)
+            if (r, c) in seen:
+                continue
+            seen.add((r, c))
+            # mix the coefficient classes the ELL tiers specialize on:
+            # +-1, small, general (sparse.rs:29-134)
+            v = rng.choice([1, p - 1, rng.randrange(2, 8), rng.randrange(p)])
+            entries.append((r, c, v))
+        M = SparseMatrix.from_coo(F, entries, rows=rows, cols=cols)
+        # iterator round-trip: every entry comes back exactly once
+        back = sorted((r, c, v % p) for r, c, v in M.iter_entries())
+        assert back == sorted((r, c, v % p) for r, c, v in entries)
+        # device ELL program vs host big-int SpMV
+        z = [rng.randrange(p) for _ in range(cols)]
+        want = M.multiply_vec_host(z)
+        prog = DeviceSpMV.build(ops, M, rows)
+        zd = jnp.asarray(ints_to_limbs_np(z, F, mont=True))
+        got = limbs_to_ints(ops.from_mont(prog.multiply_vec(zd)), F,
+                            mont=False)
+        assert got == [w % p for w in want]

@@ -62,6 +62,33 @@ def test_commit_device_matches_host(pcs, keys):
     assert c_dev == pcs.commit_host(ck, v_small, blind)
 
 
+def test_fold_commitments_partial_matches_full(pcs, keys):
+    """Partial fold (data rows via MSM, rest rows from folded blinds)
+    equals the full fold when the rest segments are zero
+    (hyrax_pc.rs:821-874)."""
+    ck, _, _ = keys
+    p = pcs.curve.scalar.modulus
+    rng = random.Random(9)
+    num_data_rows = 2  # rows 2..3 hold zero data -> blind-only
+    comms, blinds = [], []
+    for k in range(4):
+        v = [rng.randrange(p) for _ in range(num_data_rows * WIDTH)]
+        v += [0] * (N - len(v))
+        blind = pcs.blind(ck, N, rng=det_rng(20 + k))
+        vm = jnp.asarray(ints_to_limbs_np(v, pcs.curve.scalar, mont=True))
+        comms.append(pcs.commit(ck, vm, blind))
+        blinds.append(blind)
+    weights = [rng.randrange(p) for _ in range(4)]
+    folded_blind = pcs.fold_blinds(blinds, weights)
+    full = pcs.fold_commitments(comms, weights)
+    partial = pcs.fold_commitments_partial(comms, weights, num_data_rows,
+                                           folded_blind, ck)
+    assert partial == full
+    # num_data_rows == total rows degenerates to the full fold
+    assert pcs.fold_commitments_partial(comms, weights, 4, folded_blind,
+                                        ck) == full
+
+
 def test_hyrax_prove_verify(pcs, keys):
     ck, vk, ck_s = keys
     p = pcs.curve.scalar.modulus

@@ -62,6 +62,46 @@ class CoreCircuit:
         y.inputize(cs)
 
 
+class PrecommittedStepCircuit:
+    """y = x^2 + 3 with all per-instance witness in the PRECOMMITTED
+    phase (no shared segment — step and core must declare identical
+    shared structure since the core's shared witness is reused by every
+    step): the rest segment holds only pow2 padding, so the prover takes
+    the truncated-rest fold + fold_commitments_partial path
+    (neutronnova_zk.rs:1217-1262)."""
+
+    def __init__(self, x: int):
+        self.x = x
+
+    def public_values(self):
+        return [self.x * self.x + 3]
+
+    def shared(self, cs):
+        return []
+
+    def precommitted(self, cs, shared):
+        x = Num.alloc(cs, self.x)
+        x_sq = x.square(cs)
+        y = Num.alloc(cs, None if cs.shape_mode
+                      else (x_sq.value + 3) % cs.field.modulus)
+        cs.enforce(lc((1, x_sq.var), (3, ONE)), lc((1, ONE)),
+                   lc((1, y.var)))
+        y.inputize(cs)
+        # 6 extra pinned aux: 9 precommitted vars pad to 12 (width 4),
+        # off-pow2, so the shape grows a nonempty all-padding rest
+        # segment — the truncated fold's target
+        for i in range(6):
+            t = Num.alloc(cs, i)
+            cs.enforce(lc((1, t.var)), lc((1, ONE)), lc((i, ONE)))
+        return []
+
+    def num_challenges(self):
+        return 0
+
+    def synthesize(self, cs, shared, precommitted, challenges):
+        return None
+
+
 def det_rng(seed):
     r = random.Random(seed)
     return lambda p: r.randrange(p)
@@ -99,6 +139,31 @@ def test_neutronnova_end_to_end():
         NeutronNovaZkSNARK.verify(proof, vk, num_steps)
 
 
+def test_neutronnova_seven_steps_truncated_fold():
+    """7 steps (pads to 8 — the reference e2e sweeps num_circuits in
+    {2,7,32,64}, neutronnova_zk.rs:2479-2501) with an all-precommitted
+    step circuit: exercises non-pow2 instance padding AND the
+    truncated-rest witness/commitment fold.  Verify recomputes the fold
+    the full way, so a wrong partial fold fails the IPA."""
+    engine = get_engine("PallasHyraxEngine")
+    xs = [2, 3, 5, 7, 11, 13, 17]
+    step_circuits = [PrecommittedStepCircuit(x) for x in xs]
+    core = CoreCircuit()
+
+    pk, vk = NeutronNovaZkSNARK.setup(engine, step_circuits[0], core,
+                                      len(xs), width=4)
+    # the shape must actually have an all-padding rest segment, else the
+    # truncated path is not on trial
+    assert pk.S_step.num_rest_unpadded == 0 and pk.S_step.num_rest > 0
+    prep = NeutronNovaZkSNARK.prep_prove(pk, step_circuits, core,
+                                         rng=det_rng(3))
+    proof, prep = NeutronNovaZkSNARK.prove(pk, step_circuits, core, prep,
+                                           rng=det_rng(4))
+    pv_steps, pv_core = NeutronNovaZkSNARK.verify(proof, vk, len(xs))
+    assert pv_steps == [[x * x + 3] for x in xs]
+    assert pv_core == [42]
+
+
 def test_nn_keys_and_prep_serialization_roundtrip():
     """setup/prep -> serialize -> reload -> prove/verify (reference: all
     keys + PrepSNARK derive Serialize)."""
@@ -127,3 +192,35 @@ def test_nn_keys_and_prep_serialization_roundtrip():
                                         rng=det_rng(12))
     step_io, core_io = NeutronNovaZkSNARK.verify(proof, vk2, 2)
     assert step_io == [[7], [28]] and core_io == [42]
+
+
+def test_nifs_zero_rho_raises():
+    """A zero rho challenge makes the finish_round algebra divide by
+    zero; the shared helper must raise the typed error instead
+    (neutronnova.py nifs_finish_round; the reference surfaces this as
+    SpartanError::DivisionByZero)."""
+    from spartan2_tpu.field.constants import get_field
+    from spartan2_tpu.snark.neutronnova import (
+        nifs_finish_round,
+        nifs_update_state,
+    )
+
+    field = get_field("pallas_scalar")
+    state = {"T_cur": 0, "acc_eq": 1}
+    with pytest.raises(SpartanError):
+        nifs_finish_round(field, state, 0, 5, 7)
+    # and the modulus itself is a zero challenge
+    with pytest.raises(SpartanError):
+        nifs_finish_round(field, state, field.modulus, 5, 7)
+    # sanity: a nonzero rho produces a degree-3 polynomial whose
+    # evaluation sum P(0)+P(1) equals the running claim T_cur
+    state = {"T_cur": 11, "acc_eq": 3}
+    rho = 999331
+    coeffs = nifs_finish_round(field, state, rho, 5, 7)
+    p = field.modulus
+    P0 = coeffs[0]
+    P1 = sum(coeffs) % p
+    assert (P0 + P1) % p == 11
+    nifs_update_state(field, state, coeffs, rho, 17)
+    assert state["T_cur"] == (sum(
+        c * pow(17, i, p) for i, c in enumerate(coeffs)) % p)

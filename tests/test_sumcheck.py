@@ -203,3 +203,43 @@ def test_gruen_eq_split_nonzero_claim_and_odd_m():
     eq_rx = eq_evaluate(F, taus_host, rs_host)
     assert final_claim == eq_rx * (ea * eb - ec) % p
     assert bytes(np.asarray(td.state)) == th.state
+
+
+def test_gruen_eq_split_zero_tau_fallback():
+    """Forced tau == 0 rounds execute the Gruen fallback (third-sum
+    t(-1), sumcheck.rs:1326-1396 / prove.py _round_body fallback) and
+    stay byte-identical to the explicit-eq prover.  Zero taus never
+    arise from an honest transcript but the verifier cannot rule them
+    out, so the path must be exercised."""
+    from spartan2_tpu.sumcheck.prove import SumcheckProverCubicEq
+
+    m = 5
+    n = 1 << m
+    p = F.modulus
+    taus_host = [0, 987654321, 0, 13, 0]  # zeros in two-level AND tail rounds
+
+    td1 = DeviceTranscript(OPS, b"grz")
+    td2 = DeviceTranscript(OPS, b"grz")
+
+    a, b, c = _rand(n, 21), _rand(n, 22), _rand(n, 23)
+    eq_host = eq_evals_host(F, taus_host)
+    claim_int = sum(e * (x * y - z)
+                    for e, x, y, z in zip(eq_host, a, b, c)) % p
+
+    A = jnp.asarray(ints_to_limbs_np(a, F))
+    B = jnp.asarray(ints_to_limbs_np(b, F))
+    C = jnp.asarray(ints_to_limbs_np(c, F))
+    claim0 = jnp.asarray(ints_to_limbs_np([claim_int], F))[:, 0]
+
+    eq = eq_evals_device(OPS, jnp.asarray(ints_to_limbs_np(taus_host, F)))
+    c1, r1, f1, cl1 = SumcheckProverCubic(OPS).prove(
+        td1, eq, A, B, C, claim0)
+    c2, r2, f2, cl2 = SumcheckProverCubicEq(OPS).prove(
+        td2, A, B, C, claim0, taus_host, F)
+
+    for x, y in zip(c1, c2):
+        assert limbs_to_ints(x, F) == limbs_to_ints(y, F)
+    assert [_fetch_scalar(x) for x in r1] == [_fetch_scalar(x) for x in r2]
+    assert [_fetch_scalar(x) for x in f1] == [_fetch_scalar(x) for x in f2]
+    assert _fetch_scalar(cl1) == _fetch_scalar(cl2)
+    assert bytes(np.asarray(td1.state)) == bytes(np.asarray(td2.state))
