@@ -103,7 +103,7 @@ class FixedBaseComb:
                 for i, t in zip(inf, tab)
             )
 
-        return cached_jit(build)
+        return cached_jit(build, fastkey=("comb_build", dc.curve.name, self.nbits))
 
     # ------------------------------------------------------------------
     def _digits(self, scal: jnp.ndarray) -> jnp.ndarray:
@@ -146,7 +146,9 @@ class FixedBaseComb:
 
     @functools.lru_cache(maxsize=None)
     def _rows_jit(self, R: int, complete: bool = False):
-        return cached_jit(self._rows_kernel(R, complete))
+        return cached_jit(self._rows_kernel(R, complete),
+                          fastkey=("comb_rows", self.dc.curve.name,
+                                   self.nbits, R, complete))
 
     def rows_msm(self, scal_canon: jnp.ndarray, complete: bool = False):
         """(NL, R, C) canonical scalars -> (NL, R) Jacobian row sums.

@@ -392,7 +392,8 @@ class DeviceCurve:
     @functools.lru_cache(maxsize=None)
     def _msm_jit(self, nbits: int, complete_tree: bool = False):
         return cached_jit(
-            lambda s, x, y: self._msm_windowed(s, x, y, nbits, complete_tree))
+            lambda s, x, y: self._msm_windowed(s, x, y, nbits, complete_tree),
+            fastkey=("msm", self.curve.name, nbits, complete_tree))
 
     def msm(self, scalars_canon: jnp.ndarray, Qx: jnp.ndarray, Qy: jnp.ndarray,
             nbits: int = NUM_LIMBS * LIMB_BITS,
@@ -418,7 +419,7 @@ class DeviceCurve:
             # sc/Qx/Qy: (NL, R, I) — R independent MSMs sharing a kernel
             return self._msm_windowed(sc, Qx, Qy, nbits, complete)
 
-        return cached_jit(f)
+        return cached_jit(f, fastkey=("msm_rows", self.curve.name, nbits, complete))
 
     def msm_rows(self, scalars_canon: jnp.ndarray, Qx: jnp.ndarray,
                  Qy: jnp.ndarray, nbits: int = NUM_LIMBS * LIMB_BITS,
@@ -439,7 +440,7 @@ class DeviceCurve:
             P = self._sel(bits == 1, (Qx, Qy, one), inf)
             s = self.tree_sum(self._pad_pow2(P))
             return tuple(c[:, 0] for c in s)
-        return cached_jit(f)
+        return cached_jit(f, fastkey=("msm_binary", self.curve.name))
 
     def msm_binary(self, bits: jnp.ndarray, Qx: jnp.ndarray, Qy: jnp.ndarray) -> Point:
         """MSM with 0/1 scalars: masked tree-sum (reference msm_binary,
@@ -462,7 +463,7 @@ class DeviceCurve:
                 return self._sel(bit == 1, added, acc)
 
             return jax.lax.fori_loop(0, nbits, body, acc)
-        return cached_jit(f)
+        return cached_jit(f, fastkey=("msm_lane", self.curve.name, nbits))
 
     def msm_points_per_lane(self, scalars_canon: jnp.ndarray, Qx: jnp.ndarray,
                             Qy: jnp.ndarray,

@@ -136,7 +136,9 @@ class ShardedSumcheckCubic:
             C_n = bind(C_l, C_h, r)
             return eq_n, A_n, B_n, C_n, new_claim, r, coeffs, td.state
 
-        return cached_jit(step, devices=list(self.mesh.devices.flat))
+        return cached_jit(step, devices=list(self.mesh.devices.flat),
+                          fastkey=("shard_cubic_step", self.ops.spec.name,
+                                   self.mesh.devices.size, n))
 
     def prove(self, td: DeviceTranscript, eq, A, Bp, C, claim):
         """Run all rounds; arrays are (NL, n) device-sharded on axis 1."""
@@ -272,7 +274,9 @@ class ShardedSumcheckCubicEq:
             C_n = bind(C_l, C_h, r)
             return A_n, B_n, C_n, P_n, new_claim, r, coeffs, tstate
 
-        return cached_jit(step, devices=list(self.mesh.devices.flat))
+        return cached_jit(step, devices=list(self.mesh.devices.flat),
+                          fastkey=("shard_cubiceq_step", self.ops.spec.name,
+                                   self.mesh.devices.size, spec_r))
 
     def prove(self, td: DeviceTranscript, A, Bp, C, claim, taus: list[int],
               spec, zero_check: bool = False):
@@ -379,7 +383,9 @@ class ShardedSumcheckQuad:
             B_n = bind(B_l, B_h, r)
             return A_n, B_n, new_claim, r, coeffs, td.state
 
-        return cached_jit(step, devices=list(self.mesh.devices.flat))
+        return cached_jit(step, devices=list(self.mesh.devices.flat),
+                          fastkey=("shard_quad_step", self.ops.spec.name,
+                                   self.mesh.devices.size, n))
 
     def prove(self, td: DeviceTranscript, A, Bp, claim):
         """Sharded rounds while every chip has lanes; returns the
@@ -451,7 +457,9 @@ class ShardedZkSumcheckCubic:
             return jnp.stack([ops.acc_reduce(cols[i]) for i in range(3)],
                              axis=2)  # (NL, K, 3)
 
-        return cached_jit(ev, devices=list(self.mesh.devices.flat))
+        return cached_jit(ev, devices=list(self.mesh.devices.flat),
+                          fastkey=("shard_zkc_evals", self.ops.spec.name,
+                                   self.mesh.devices.size, n, K))
 
     @functools.lru_cache(maxsize=None)
     def _bind(self, n: int, K: int):
@@ -474,7 +482,9 @@ class ShardedZkSumcheckCubic:
             return (bind_e(E_l, E_h, r), bind_k(A_l, A_h, r),
                     bind_k(B_l, B_h, r), bind_k(C_l, C_h, r))
 
-        return cached_jit(b, devices=list(self.mesh.devices.flat))
+        return cached_jit(b, devices=list(self.mesh.devices.flat),
+                          fastkey=("shard_zkc_bind", self.ops.spec.name,
+                                   self.mesh.devices.size, n, K))
 
     def prove(self, spec, claims: list[int], E, polys, challenge_fn):
         """Drop-in for DeviceZkSumcheckCubic.prove (same signature minus
@@ -550,7 +560,9 @@ class ShardedZkSumcheckQuad:
             return jnp.stack([ops.acc_reduce(cols[0]),
                               ops.acc_reduce(cols[1])], axis=2)  # (NL, K, 2)
 
-        return cached_jit(ev, devices=list(self.mesh.devices.flat))
+        return cached_jit(ev, devices=list(self.mesh.devices.flat),
+                          fastkey=("shard_zkq_evals", self.ops.spec.name,
+                                   self.mesh.devices.size, n, K))
 
     @functools.lru_cache(maxsize=None)
     def _bind(self, n: int, K: int):
@@ -567,7 +579,9 @@ class ShardedZkSumcheckQuad:
                              in_specs=(spec, spec, P()), out_specs=spec)
             return bind(A_l, A_h, r), bind(Z_l, Z_h, r)
 
-        return cached_jit(b, devices=list(self.mesh.devices.flat))
+        return cached_jit(b, devices=list(self.mesh.devices.flat),
+                          fastkey=("shard_zkq_bind", self.ops.spec.name,
+                                   self.mesh.devices.size, n, K))
 
     def prove(self, spec, claims: list[int], polys, num_rounds: int,
               challenge_fn):

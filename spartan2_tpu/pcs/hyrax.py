@@ -321,7 +321,9 @@ class HyraxPCS:
 
         if not hasattr(self, '_bind_kernel'):
             self._bind_kernel = {}
-        bk = self._bind_kernel.setdefault((R, r_len), cached_jit(kernel))
+        bk = self._bind_kernel.setdefault(
+            (R, r_len),
+            cached_jit(kernel, fastkey=("hyrax_bind", fs.spec.name, R, r_len)))
         return bk(Lm, Z)
 
     def _msm_gens_blinded_dev(self, ck: HyraxCommitmentKey,

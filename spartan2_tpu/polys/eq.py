@@ -113,14 +113,16 @@ def pow_evals_device(ops: FieldOps, g: jnp.ndarray) -> jnp.ndarray:
 def _eq_table_jit(ops: FieldOps):
     from ..utils.jitcache import cached_jit
 
-    return cached_jit(lambda r: eq_evals_device(ops, r))
+    return cached_jit(lambda r: eq_evals_device(ops, r),
+                      fastkey=("eq_table", ops.spec.name))
 
 
 @functools.lru_cache(maxsize=None)
 def _pow_table_jit(ops: FieldOps):
     from ..utils.jitcache import cached_jit
 
-    return cached_jit(lambda g: pow_evals_device(ops, g))
+    return cached_jit(lambda g: pow_evals_device(ops, g),
+                      fastkey=("pow_table", ops.spec.name))
 
 
 def pow_evals_device_oneshot(ops: FieldOps, g: jnp.ndarray) -> jnp.ndarray:

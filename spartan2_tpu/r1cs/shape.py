@@ -243,7 +243,7 @@ class SplitR1CSShape:
             def f(z, pa, pb, pc):
                 return (spmv_apply(ops, pa, z), spmv_apply(ops, pb, z),
                         spmv_apply(ops, pc, z))
-            self._mv_jit = cached_jit(f)
+            self._mv_jit = cached_jit(f, fastkey=("shape_mv", ops.spec.name, tuple(self.sizes())))
         return self._mv_jit(z_mont, d["A"].prog, d["B"].prog, d["C"].prog)
 
     def multiply_vec_batched_device(self, z_batch: jnp.ndarray):
@@ -259,7 +259,7 @@ class SplitR1CSShape:
                 return (spmv_apply_batched(ops, pa, z),
                         spmv_apply_batched(ops, pb, z),
                         spmv_apply_batched(ops, pc, z))
-            self._mv_batched_jit = cached_jit(f)
+            self._mv_batched_jit = cached_jit(f, fastkey=("shape_mv_batched", ops.spec.name, tuple(self.sizes())))
         return self._mv_batched_jit(z_batch, d["A"].prog, d["B"].prog,
                                     d["C"].prog)
 
@@ -275,7 +275,7 @@ class SplitR1CSShape:
             def f(z, pa, pb, pc):
                 return (spmv_apply(ops, pa, z), spmv_apply(ops, pb, z),
                         spmv_apply(ops, pc, z))
-            self._mv_pre_jit = cached_jit(f)
+            self._mv_pre_jit = cached_jit(f, fastkey=("shape_mv_pre", ops.spec.name, tuple(self.sizes())))
         return self._mv_pre_jit(z_prefix, d["A_pre"].prog, d["B_pre"].prog,
                                 d["C_pre"].prog)
 
@@ -300,7 +300,7 @@ class SplitR1CSShape:
                 return (ops.add(ca, spmv_apply(ops, pa, z)),
                         ops.add(cb, spmv_apply(ops, pb, z)),
                         ops.add(cc, spmv_apply(ops, pc, z)))
-            self._mv_inc_jit = cached_jit(f)
+            self._mv_inc_jit = cached_jit(f, fastkey=("shape_mv_inc", ops.spec.name, tuple(self.sizes())))
         return self._mv_inc_jit(W_full, tail, *cached, d["A_sfx"].prog,
                                 d["B_sfx"].prog, d["C_sfx"].prog)
 
@@ -327,7 +327,7 @@ class SplitR1CSShape:
                 nvars2 = a.shape[1]
                 rb = jnp.broadcast_to(r[:, None], (NL, nvars2))
                 return ops.add(a, ops.mont_mul(rb, ops.add(b, ops.mont_mul(rb, c))))
-            self._abc_jit = cached_jit(f)
+            self._abc_jit = cached_jit(f, fastkey=("shape_abc", ops.spec.name, tuple(self.sizes())))
         return self._abc_jit(rx_stack, r_mont, d["At"].prog, d["Bt"].prog,
                              d["Ct"].prog)
 
@@ -359,7 +359,7 @@ class SplitR1CSShape:
                     ops.sum_products(Tx, spmv_apply(ops, pm, Ty))
                     for pm in (pa, pb, pc)
                 )
-            self._eval_jit = cached_jit(f)
+            self._eval_jit = cached_jit(f, fastkey=("shape_eval", ops.spec.name, tuple(self.sizes())))
         out = jnp.stack(
             self._eval_jit(rx, ry, d["A"].prog, d["B"].prog, d["C"].prog),
             axis=1)

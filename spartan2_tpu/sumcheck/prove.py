@@ -282,7 +282,7 @@ class SumcheckProverCubic:
             C_n = ops.add(C_l, ops.mont_mul(rb, C_d))
             return eq_n, A_n, B_n, C_n, new_claim, r, coeffs, td.state
 
-        return cached_jit(step)
+        return cached_jit(step, fastkey=("sc_cubic_step", ops.spec.name, n))
 
     def prove(self, td: DeviceTranscript, eq, A, Bp, C, claim):
         """Run all rounds; returns (coeff list, r list, final evals, claim)."""
@@ -338,7 +338,7 @@ class SumcheckProverQuad:
         def step(A, Bp, claim, tstate, t_round):
             return self._round_body(n, A, Bp, claim, tstate, t_round)
 
-        return cached_jit(step)
+        return cached_jit(step, fastkey=("sc_quad_step", self.ops.spec.name, n))
 
     @functools.lru_cache(maxsize=None)
     def _tail_fused(self, n0: int, k: int):
@@ -355,7 +355,7 @@ class SumcheckProverQuad:
                 n //= 2
             return A, Bp, claim, tuple(rs), tuple(cs), tstate
 
-        return cached_jit(fused)
+        return cached_jit(fused, fastkey=("sc_quad_tail", self.ops.spec.name, n0, k))
 
     def prove(self, td: DeviceTranscript, A, Bp, claim, num_rounds: int):
         n = A.shape[1]
@@ -503,7 +503,7 @@ class SumcheckProverCubicEq:
             return self._round_body(spec_r, A, Bp, C, flat, P, claim,
                                     tstate, t_round)
 
-        return cached_jit(step)
+        return cached_jit(step, fastkey=("sc_cubiceq_step", self.ops.spec.name, spec_r))
 
     @functools.lru_cache(maxsize=None)
     def _tail_fused(self, specs: tuple):
@@ -520,7 +520,7 @@ class SumcheckProverCubicEq:
                 coeffs_list.append(coeffs)
             return A, Bp, C, P, claim, tuple(rs), tuple(coeffs_list), tstate
 
-        return cached_jit(fused)
+        return cached_jit(fused, fastkey=("sc_cubiceq_tail", self.ops.spec.name, specs))
 
     # driver -------------------------------------------------------------
     def prove(self, td: DeviceTranscript, A, Bp, C, claim, taus: list[int],
@@ -658,7 +658,7 @@ class SpartanInnerRound0:
             z_new = jnp.concatenate([z_head, z_tail], axis=1)
             return abc_new, z_new, new_claim, r0, coeffs, td.state
 
-        return cached_jit(step)
+        return cached_jit(step, fastkey=("sc_inner0", ops.spec.name, num_vars, num_extra))
 
     def run(self, td: DeviceTranscript, abc, W, tail, claim,
             num_vars: int, num_extra: int):

@@ -99,7 +99,7 @@ class DeviceZkSumcheckCubic:
             evals = jnp.stack([t0, t2, t3], axis=2)  # (NL, K, 3)
             return E, A, B, C, evals
 
-        return cached_jit(step)
+        return cached_jit(step, fastkey=("zk_cubic_step", ops.spec.name, n, K, bind_first))
 
     @functools.lru_cache(maxsize=None)
     def _final(self, n: int, K: int):
@@ -113,7 +113,7 @@ class DeviceZkSumcheckCubic:
             # (NL, K, 1) finals + E scalar
             return jnp.stack([A[..., 0], B[..., 0], C[..., 0]], axis=2), E[:, 0]
 
-        return cached_jit(fin)
+        return cached_jit(fin, fastkey=("zk_cubic_final", ops.spec.name, n, K))
 
     def prove(self, spec, claims: list[int], E, polys, challenge_fn):
         """``E``: (NL, n) device; ``polys``: (A, B, C) each (NL, K, n);
@@ -187,7 +187,7 @@ class DeviceZkSumcheckQuad:
             evals = jnp.stack([t0, t_inf], axis=2)  # (NL, K, 2)
             return A, Z, evals
 
-        return cached_jit(step)
+        return cached_jit(step, fastkey=("zk_quad_step", ops.spec.name, n, K, bind_first))
 
     @functools.lru_cache(maxsize=None)
     def _final(self, n: int, K: int):
@@ -198,7 +198,7 @@ class DeviceZkSumcheckQuad:
             Z = _bind_axis1(ops, Z, r)
             return jnp.stack([A[..., 0], Z[..., 0]], axis=2)
 
-        return cached_jit(fin)
+        return cached_jit(fin, fastkey=("zk_quad_final", ops.spec.name, n, K))
 
     def prove(self, spec, claims: list[int], polys, num_rounds: int,
               challenge_fn):
@@ -277,7 +277,7 @@ class ZkInnerRound0:
             t_inf = ops.add(ops.sub(eval0, corr_low), corr_cross)
             return jnp.stack([eval0, t_inf], axis=2)  # (NL, K, 2)
 
-        return cached_jit(ev)
+        return cached_jit(ev, fastkey=("zk_inner0_evals", ops.spec.name, num_vars, num_extra, K))
 
     @functools.lru_cache(maxsize=None)
     def _bind(self, num_vars: int, num_extra: int, K: int):
@@ -301,7 +301,7 @@ class ZkInnerRound0:
                 ops.mont_mul(omb, z_lo[..., num_extra:])], axis=2)
             return abc_new, z_new
 
-        return cached_jit(bind)
+        return cached_jit(bind, fastkey=("zk_inner0_bind", ops.spec.name, num_vars, num_extra, K))
 
     def evals(self, spec, abc, z, num_vars: int, num_extra: int):
         """-> per-instance (eval0, t_inf) host ints."""
@@ -358,7 +358,7 @@ class NifsRoundsDevice:
             quad = weighted(ops.mont_mul(ops.sub(Ao, Ae), ops.sub(Bo, Be)))
             return A, B, C, jnp.stack([e0, quad], axis=1)
 
-        return cached_jit(step)
+        return cached_jit(step, fastkey=("nifs_step", ops.spec.name, I, n, bind_first))
 
     @functools.lru_cache(maxsize=None)
     def _to_small(self, I: int, n: int):
@@ -380,7 +380,7 @@ class NifsRoundsDevice:
                 ok = a if ok is None else jnp.logical_and(ok, a)
             return outs[0], outs[1], outs[2], ok
 
-        return cached_jit(conv)
+        return cached_jit(conv, fastkey=("nifs_to_small", ops.spec.name, I, n))
 
     @functools.lru_cache(maxsize=None)
     def _small_step(self, I: int, n: int):
@@ -438,7 +438,7 @@ class NifsRoundsDevice:
             quad = weighted(conv_cols(Ao - Ae, Bo - Be), E, w)
             return jnp.stack([e0, quad], axis=1)
 
-        return cached_jit(step)
+        return cached_jit(step, fastkey=("nifs_small_step", ops.spec.name, I, n))
 
     def _fold(self, arr, r):
         """(NL, I, n) -> (NL, I/2, n): even + r * (odd - even)."""
@@ -452,7 +452,7 @@ class NifsRoundsDevice:
         def fin(A, B, C, r):
             return (self._fold(A, r)[:, 0], self._fold(B, r)[:, 0],
                     self._fold(C, r)[:, 0])
-        return cached_jit(fin)
+        return cached_jit(fin, fastkey=("nifs_final_fold", self.ops.spec.name, I, n))
 
     @functools.lru_cache(maxsize=None)
     def _weighted_fold(self, I: int, n: int):
@@ -470,7 +470,7 @@ class NifsRoundsDevice:
                 m //= k
             return ops.acc_reduce(t[:, 0])
 
-        return cached_jit(fold)
+        return cached_jit(fold, fastkey=("nifs_weighted_fold", ops.spec.name, I, n))
 
     def to_small(self, spec, A, B, C):
         """Try the small-plane conversion of the NIFS grid.  Returns

@@ -102,6 +102,68 @@ def _host_cpu_features() -> str:
     return "nofeat"
 
 
+_PKG_HASH = None
+
+
+def _pkg_hash() -> str:
+    """Content hash of the whole spartan2_tpu source tree.  The fast-path
+    index below must be invalidated by ANY library change (a kernel's
+    lowered HLO can depend on code anywhere in the package), so the key
+    is deliberately coarse: one byte changed anywhere -> full re-lower."""
+    global _PKG_HASH
+    if _PKG_HASH is None:
+        h = hashlib.sha256()
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        for dirpath, dirnames, filenames in sorted(os.walk(root)):
+            dirnames.sort()
+            if "__pycache__" in dirpath:
+                continue
+            for fn in sorted(filenames):
+                if fn.endswith((".py", ".c")):
+                    p = os.path.join(dirpath, fn)
+                    h.update(os.path.relpath(p, root).encode())
+                    try:
+                        with open(p, "rb") as f:
+                            h.update(f.read())
+                    except OSError:
+                        pass
+        _PKG_HASH = h.hexdigest()[:16]
+    return _PKG_HASH
+
+
+def _index_path() -> str:
+    return os.path.join(_CACHE_DIR, "fastindex.json")
+
+
+def _index_get(fk: str):
+    try:
+        import json
+
+        with open(_index_path()) as f:
+            return json.load(f).get(fk)
+    except (OSError, ValueError):
+        return None
+
+
+def _index_put(fk: str, fname: str) -> None:
+    try:
+        import json
+
+        os.makedirs(_CACHE_DIR, exist_ok=True)
+        try:
+            with open(_index_path()) as f:
+                idx = json.load(f)
+        except (OSError, ValueError):
+            idx = {}
+        idx[fk] = fname
+        tmp = _index_path() + f".tmp{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(idx, f)
+        os.replace(tmp, _index_path())
+    except OSError:
+        pass
+
+
 def _backend_fingerprint() -> str:
     from jax._src import xla_bridge
 
@@ -116,11 +178,20 @@ def _backend_fingerprint() -> str:
 
 
 class _CachedFn:
-    def __init__(self, fn, static_argnums=(), devices=None):
+    def __init__(self, fn, static_argnums=(), devices=None, fastkey=None):
         self._jitted = jax.jit(fn, static_argnums=static_argnums)
         self._static = set(static_argnums)
         self._devices = devices  # execution devices for deserialization
         self._exes: dict = {}
+        # fast-path identity: the caller-supplied stable key must capture
+        # EVERYTHING the closure bakes into the kernel beyond the arg
+        # shapes (static slices, field choice, round specs, ...); with it,
+        # a warm process skips the ~5-15s re-LOWERING (the HLO-text cache
+        # key requires tracing first) and deserializes directly.
+        self._fastkey = None
+        if fastkey is not None:
+            self._fastkey = (f"{fn.__module__}.{getattr(fn, '__qualname__', 'fn')}",
+                             fastkey)
 
     def _argkey(self, args):
         parts = []
@@ -144,9 +215,42 @@ class _CachedFn:
                     self._exes[key] = exe
         return exe(*args)
 
+    def _deserialize(self, path: str, name: str):
+        from jax.experimental.serialize_executable import deserialize_and_load
+
+        t0 = time.time()
+        with open(path, "rb") as f:
+            serialized, in_tree, out_tree = pickle.load(f)
+        # single-device programs pin to device 0 even when the platform
+        # exposes a virtual mesh; sharded programs pass their mesh
+        # devices via cached_jit(devices=...)
+        devs = self._devices if self._devices is not None else jax.devices()[:1]
+        exe = deserialize_and_load(
+            serialized, in_tree, out_tree, execution_devices=list(devs))
+        _log(f"{name}: loaded {os.path.getsize(path) / 1e6:.0f} MB "
+             f"cached exe in {time.time() - t0:.1f}s")
+        try:
+            os.utime(path)  # LRU touch: keep the working set warm
+        except OSError:
+            pass
+        return exe
+
     def _load_or_compile(self, *args):
         name = getattr(self._jitted, "__wrapped__", None)
         name = getattr(name, "__name__", "fn")
+        fk = None
+        if self._fastkey is not None and not _DISABLED:
+            fk = hashlib.sha256(repr(
+                (self._fastkey, self._argkey(args), _backend_fingerprint(),
+                 _pkg_hash())).encode()).hexdigest()
+            fname = _index_get(fk)
+            if fname:
+                fpath = os.path.join(_CACHE_DIR, fname)
+                if os.path.exists(fpath):
+                    try:
+                        return self._deserialize(fpath, name + " (fast)")
+                    except Exception:
+                        pass  # stale: fall through to the lowering path
         t0 = time.time()
         lowered = self._jitted.lower(*args)
         hlo = lowered.as_text()
@@ -161,24 +265,9 @@ class _CachedFn:
                 path = legacy
         if os.path.exists(path):
             try:
-                from jax.experimental.serialize_executable import deserialize_and_load
-
-                t0 = time.time()
-                with open(path, "rb") as f:
-                    serialized, in_tree, out_tree = pickle.load(f)
-                # single-device programs pin to device 0 even when the
-                # platform exposes a virtual mesh; sharded programs pass
-                # their mesh devices via cached_jit(devices=...)
-                devs = self._devices if self._devices is not None else jax.devices()[:1]
-                exe = deserialize_and_load(
-                    serialized, in_tree, out_tree, execution_devices=list(devs),
-                )
-                _log(f"{name}: loaded {os.path.getsize(path) / 1e6:.0f} MB "
-                     f"cached exe in {time.time() - t0:.1f}s")
-                try:
-                    os.utime(path)  # LRU touch: keep the working set warm
-                except OSError:
-                    pass
+                exe = self._deserialize(path, name)
+                if fk is not None:
+                    _index_put(fk, os.path.basename(path))
                 return exe
             except Exception:
                 pass  # stale/incompatible entry: fall through to recompile
@@ -205,7 +294,7 @@ class _CachedFn:
             # the pull overlaps the NEXT kernel's remote compile; the
             # atomic tmp+rename keeps readers safe, and non-daemon means
             # the interpreter waits for in-flight writes at exit.
-            def _write(compiled=compiled, path=path, name=name, t1=t1):
+            def _write(compiled=compiled, path=path, name=name, t1=t1, fk=fk):
                 try:
                     payload = pickle.dumps(serialize(compiled))
                     tmp = path + f".tmp{os.getpid()}"
@@ -214,6 +303,8 @@ class _CachedFn:
                     os.replace(tmp, path)
                     _log(f"{name}: serialized {len(payload) / 1e6:.0f} MB "
                          f"in {time.time() - t1:.1f}s (background)")
+                    if fk is not None:
+                        _index_put(fk, os.path.basename(path))
                     _evict_lru()
                 except Exception:
                     pass  # caching is best-effort
@@ -225,10 +316,18 @@ class _CachedFn:
         return compiled
 
 
-def cached_jit(fn, static_argnums=(), devices=None):
+def cached_jit(fn, static_argnums=(), devices=None, fastkey=None):
     """jax.jit with a deterministic on-disk executable cache.
 
     ``devices``: execution devices for deserialized sharded programs
     (default: single device 0).
+
+    ``fastkey``: optional stable, hashable value capturing every closure
+    constant the kernel bakes in beyond its argument shapes (static
+    slices, field/curve choice, per-round specs...).  With it, warm
+    processes skip the ~5-15 s re-lowering (the HLO cache key otherwise
+    requires tracing) and deserialize the executable directly; the index
+    is invalidated by any change to the package source (_pkg_hash).
+    WITHOUT it the kernel is still cached, just behind a lowering.
     """
-    return _CachedFn(fn, static_argnums, devices)
+    return _CachedFn(fn, static_argnums, devices, fastkey)
