@@ -203,8 +203,14 @@ class SplitR1CSShape:
         t["A"] = DeviceSpMV.build(ops, self.A, self.num_cons)
         t["B"] = DeviceSpMV.build(ops, self.B, self.num_cons)
         t["C"] = DeviceSpMV.build(ops, self.C, self.num_cons)
-        # transposes over the 2*num_vars inner-sum-check domain
-        ny = 2 * self.num_vars
+        # Transposes over num_cols, NOT the full 2*num_vars inner-sum-check
+        # domain: matrix columns end at num_cols = num_vars + num_extra, so
+        # poly_ABC is zero beyond it, and the structured inner round 0
+        # (SpartanInnerRound0 / ZkInnerRound0) only reads the [0, num_vars)
+        # half plus the num_extra-entry upper prefix.  Building the upper
+        # half's zero tail cost a full extra output pass + gather sweep
+        # (measured: half of the 534 ms poly_ABC bind).
+        ny = self.num_cols
         t["At"] = DeviceSpMV.build(ops, self._transpose(self.A, ny), ny)
         t["Bt"] = DeviceSpMV.build(ops, self._transpose(self.B, ny), ny)
         t["Ct"] = DeviceSpMV.build(ops, self._transpose(self.C, ny), ny)
@@ -307,7 +313,8 @@ class SplitR1CSShape:
     def bind_and_prepare_poly_ABC_device(self, rx_stack: jnp.ndarray,
                                          r_mont: jnp.ndarray) -> jnp.ndarray:
         """poly_ABC[j] = sum_i eq(r_x, i) * (A+rB+r^2C)[i,j] over the
-        2*num_vars domain (reference r1cs/mod.rs:1235-1398).
+        num_cols domain — the nonzero prefix of the virtual 2*num_vars
+        inner-sum-check polynomial (reference r1cs/mod.rs:1235-1398).
 
         ``rx_stack``: (NL, m) Montgomery r_x points.  The 2^m eq table is
         built INSIDE the kernel: built eagerly it cost ~3 tunnel

@@ -130,8 +130,8 @@ class DeviceSpMV:
     num_cols: int
     t1_cols: jnp.ndarray  # (num_rows, K0) int32
     t1_coef: jnp.ndarray  # (num_rows, K0) int32
-    t2: list              # int-overflow buckets [(cols, coefs, inv), ...]
-    gen: list             # general-coeff buckets [(cols, vals, inv), ...]
+    t2: tuple | None      # int-overflow ([(cols, coefs), ...], inv)
+    gen: tuple | None     # general-coeff ([(cols, vals), ...], inv)
 
     K0_CAP = 8
 
@@ -160,8 +160,20 @@ class DeviceSpMV:
                 gen_entries.append((row, col, val))
         cls._check_row_density(int_entries, gen_entries, num_rows)
 
-        max_nnz = max((len(v) for v in int_by_row.values()), default=0)
-        K0 = min(cls.K0_CAP, max(max_nnz, 1))
+        # Adaptive dense-tier width: K0 = max row width wastes gathers
+        # massively on near-empty rows (a transpose matrix averages ~1
+        # entry/row but one dense row forced K0 = 8 -> 8x the gather
+        # traffic; measured 534 ms for the SHA poly_ABC bind).  Pick the
+        # smallest K0 leaving at most num_rows/32 overflow rows — the
+        # compact tiers below handle the heavy tail at ~nnz cost.
+        hist: dict[int, int] = {}
+        for ents in int_by_row.values():
+            hist[len(ents)] = hist.get(len(ents), 0) + 1
+        K0 = 0
+        allowed = max(num_rows // 32, 1)
+        while (K0 < cls.K0_CAP
+               and sum(c for w, c in hist.items() if w > K0) > allowed):
+            K0 += 1
         t1c = np.zeros((num_rows, K0), np.int32)
         t1k = np.zeros((num_rows, K0), np.int32)
         over: dict[int, list] = {}
@@ -174,21 +186,25 @@ class DeviceSpMV:
                 over[row] = ents[K0:]
 
         def compact(by_row: dict, with_vals: bool):
-            """Width-bucketed compact ELL tiers + inverse maps.
+            """Width-bucketed compact ELL tiers + ONE shared inverse map.
 
             Rows are grouped by next-pow2 of their entry count, so pad
-            waste is < 2x even with skewed widths (a single max-width
-            block would cost n_rows * max_width slots — hundreds of
-            millions for the transpose matrices' general streams).
-            Returns a list of (cols, coefs_or_vals, inv) buckets."""
+            waste is < 2x even with skewed widths.  All buckets' row
+            sums are concatenated and re-enter the output through a
+            SINGLE static gather (per-bucket inverse gathers each cost a
+            full num_rows-sized pass — the dominant cost when a skewed
+            width distribution makes many buckets).
+            Returns ((cols, coefs_or_vals) blocks, combined inv) or None."""
             if not by_row:
-                return []
+                return None
             buckets: dict[int, list] = {}
             for r in sorted(by_row):
                 w = len(by_row[r])
                 K1 = 1 << max(w - 1, 0).bit_length()
                 buckets.setdefault(K1, []).append(r)
-            out = []
+            blocks = []
+            inv = np.zeros(num_rows, np.int32)
+            off = 0
             for K1, rows in buckets.items():
                 n2 = len(rows)
                 cols = np.zeros((n2, K1), np.int32)
@@ -203,17 +219,22 @@ class DeviceSpMV:
                             flat[i * K1 + j] = v
                         else:
                             coefs[i, j] = v
-                inv = np.full(num_rows, n2, np.int32)
-                inv[np.asarray(rows, np.int64)] = np.arange(n2, dtype=np.int32)
+                inv[np.asarray(rows, np.int64)] = off + np.arange(
+                    n2, dtype=np.int32)
+                off += n2
                 if with_vals:
                     vals = jnp.asarray(
                         ints_to_limbs_np(flat, m.field, mont=True)
                     ).reshape(NL, n2, K1)
-                    out.append((jnp.asarray(cols), vals, jnp.asarray(inv)))
+                    blocks.append((jnp.asarray(cols), vals))
                 else:
-                    out.append((jnp.asarray(cols), jnp.asarray(coefs),
-                                jnp.asarray(inv)))
-            return out
+                    blocks.append((jnp.asarray(cols), jnp.asarray(coefs)))
+            # rows in no bucket point at the zero pad slot (index off)
+            mask = np.ones(num_rows, bool)
+            for rows_list in buckets.values():
+                mask[np.asarray(rows_list, np.int64)] = False
+            inv[mask] = off
+            return (blocks, jnp.asarray(inv))
 
         t2 = compact(over, with_vals=False)
         gen = compact(gen_by_row, with_vals=True)
@@ -273,29 +294,38 @@ class DeviceSpMV:
 def _spmv_accumulate(prog, take, mont_mul):
     """Shared scatter-free accumulation over a SpMV ``prog`` pytree;
     ``take(flat_idx) -> (..., n)`` gathers from z with arbitrary leading
-    batch dims."""
+    batch dims.  Each compact class re-enters the output through ONE
+    static inverse gather over its concatenated bucket sums."""
     t1_cols, t1_coef, t2, gen = prog
     R, K0 = t1_cols.shape
-    vi = take(t1_cols.reshape(-1))
-    vi = vi.reshape(vi.shape[:-1] + (R, K0))
-    acc = (vi * t1_coef).sum(axis=-1)
+    acc = None
+    if K0 > 0:
+        vi = take(t1_cols.reshape(-1))
+        vi = vi.reshape(vi.shape[:-1] + (R, K0))
+        acc = (vi * t1_coef).sum(axis=-1)
 
-    for cols, coefs, inv in t2:
-        n2, K1 = cols.shape
-        v2 = take(cols.reshape(-1))
-        v2 = v2.reshape(v2.shape[:-1] + (n2, K1))
-        s2 = (v2 * coefs).sum(axis=-1)
-        pad = jnp.zeros(s2.shape[:-1] + (1,), jnp.int32)
-        acc = acc + jnp.concatenate([s2, pad], axis=-1)[..., inv]
+    def class_contrib(blocks, inv, combine):
+        sums = []
+        for cols, cv in blocks:
+            nb, Kb = cols.shape
+            v = take(cols.reshape(-1))
+            v = v.reshape(v.shape[:-1] + (nb, Kb))
+            sums.append(combine(v, cv))
+        pad = jnp.zeros(sums[0].shape[:-1] + (1,), jnp.int32)
+        return jnp.concatenate(sums + [pad], axis=-1)[..., inv]
 
-    for cols, vals, inv in gen:
-        ng, Kg = cols.shape
-        vg = take(cols.reshape(-1))
-        vg = vg.reshape(vg.shape[:-1] + (ng, Kg))
-        gm = mont_mul(vg, vals)
-        sg = gm.sum(axis=-1)
-        pad = jnp.zeros(sg.shape[:-1] + (1,), jnp.int32)
-        acc = acc + jnp.concatenate([sg, pad], axis=-1)[..., inv]
+    if t2 is not None:
+        blocks, inv = t2
+        c = class_contrib(blocks, inv, lambda v, k: (v * k).sum(axis=-1))
+        acc = c if acc is None else acc + c
+    if gen is not None:
+        blocks, inv = gen
+        c = class_contrib(blocks, inv,
+                          lambda v, gv: mont_mul(v, gv).sum(axis=-1))
+        acc = c if acc is None else acc + c
+    if acc is None:  # entirely empty slice: all-zero rows
+        acc = jnp.zeros(take(jnp.zeros((1,), jnp.int32)).shape[:-1] + (R,),
+                        jnp.int32)
     return acc
 
 

@@ -757,40 +757,77 @@ class NeutronNovaZkSNARK:
                 (ABC_s, z_folded), (ABC_c, z_core_v), inner_challenge)
             eval_Z_step, eval_Z_core = finals[2], finals[3]
         else:
+            from ..sumcheck.zk_device import get_zk_inner_round0
+
             rx_stack = jnp.asarray(ints_to_limbs_np(r_x, field, mont=True))
             r_mont = jnp.asarray(
                 ints_to_limbs_np([r], field, mont=True))[:, 0]
-            ABC_s = pk.S_step.bind_and_prepare_poly_ABC_device(rx_stack, r_mont)
-            ABC_c = pk.S_core.bind_and_prepare_poly_ABC_device(rx_stack, r_mont)
+            # ABC/z at their nonzero width num_vars + ne; step and core
+            # can have different num_extra — pad both to the max (the
+            # extra correction terms read zeros and vanish)
+            ne = max(pk.S_step.num_cols, pk.S_core.num_cols) - num_vars
+
+            def pad_cols(x):
+                w = num_vars + ne - x.shape[1]
+                if w == 0:
+                    return x
+                return jnp.concatenate(
+                    [x, jnp.zeros((NL, w), jnp.int32)], axis=1)
+
+            ABC_s = pad_cols(
+                pk.S_step.bind_and_prepare_poly_ABC_device(rx_stack, r_mont))
+            ABC_c = pad_cols(
+                pk.S_core.bind_and_prepare_poly_ABC_device(rx_stack, r_mont))
 
             def zdev(W_plane, X):
                 tail = jnp.asarray(
                     ints_to_limbs_np([1] + X, field, mont=True))
                 pad = jnp.zeros(
-                    (NL, 2 * num_vars - W_plane.shape[1] - tail.shape[1]),
+                    (NL, num_vars + ne - W_plane.shape[1] - tail.shape[1]),
                     jnp.int32)
                 return jnp.concatenate([W_plane, tail, pad], axis=1)
 
             z_folded_dev = zdev(W_fold_dev, folded_U.X)
             z_core_v_dev = zdev(core_W.W, core_regular.X)
 
+            abc_k = jnp.stack([ABC_s, ABC_c], axis=1)
+            z_k = jnp.stack([z_folded_dev, z_core_v_dev], axis=1)
+
+            # structured round 0 (the virtual 2*num_vars polys are zero
+            # beyond num_vars + ne; reference zero-skip at
+            # neutronnova_zk.rs:1889-1920), then the generic engine on
+            # the bound num_vars-wide halves
+            round0 = get_zk_inner_round0(ops)
+            r0_evals = round0.evals(field, abc_k, z_k, num_vars, ne)
+            unis0 = []
+            for (ev0, t_inf), e in zip(r0_evals,
+                                       (claim_inner_s, claim_inner_c)):
+                e2 = (2 * e - 3 * ev0 + 2 * t_inf) % p
+                unis0.append(UniPoly.from_evals_deg2(
+                    field, [ev0, (e - ev0) % p, e2]))
+            vc.inner_polys_step[0] = list(unis0[0].coeffs)
+            vc.inner_polys_core[0] = list(unis0[1].coeffs)
+            r0 = vc_state.process_round(pcs, pk.vc_ck, vc, inner_start,
+                                        transcript, rng)[0]
+            abc_k, z_k = round0.bind(field, abc_k, z_k, r0, num_vars, ne)
+            claims_after0 = [u.evaluate(r0) for u in unis0]
+
             def inner_challenge_dev(j, unis):
-                vc.inner_polys_step[j] = list(unis[0].coeffs)
-                vc.inner_polys_core[j] = list(unis[1].coeffs)
+                vc.inner_polys_step[1 + j] = list(unis[0].coeffs)
+                vc.inner_polys_core[1 + j] = list(unis[1].coeffs)
                 return vc_state.process_round(pcs, pk.vc_ck, vc,
-                                              inner_start + j, transcript,
+                                              inner_start + 1 + j, transcript,
                                               rng)[0]
 
-            if mesh is not None and (1 << num_rounds_y) > mesh.devices.size:
+            if mesh is not None and (1 << (num_rounds_y - 1)) > mesh.devices.size:
                 from ..parallel.sumcheck_shard import get_sharded_zk_quad
                 quad = get_sharded_zk_quad(ops, mesh)
             else:
                 quad = get_zk_quad(ops)
-            r_y, finals_inner = quad.prove(
-                field, [claim_inner_s, claim_inner_c],
-                (jnp.stack([ABC_s, ABC_c], axis=1),
-                 jnp.stack([z_folded_dev, z_core_v_dev], axis=1)),
-                num_rounds_y, inner_challenge_dev)
+            r_y_rest, finals_inner = quad.prove(
+                field, claims_after0, (abc_k, z_k), num_rounds_y - 1,
+                inner_challenge_dev)
+            r_y = [r0] + list(r_y_rest)
             eval_Z_step = finals_inner[0][1]
             eval_Z_core = finals_inner[1][1]
 

@@ -209,10 +209,10 @@ class SpartanZkSNARK:
             cubic = get_zk_cubic(ops)
             tail_vals = [1] + U.public_values + U.challenges
             tail = jnp.asarray(ints_to_limbs_np(tail_vals, field, mont=True))
-            pad = jnp.zeros((NL, 2 * num_vars - num_vars - len(tail_vals)),
-                            jnp.int32)
-            z_dev = jnp.concatenate([W.W, tail, pad], axis=1)
-            Az, Bz, Cz = S.multiply_vec_device(z_dev[:, : S.num_cols])
+            # z at its nonzero width num_cols = num_vars + num_extra: the
+            # structured inner round 0 never reads the zero tail
+            z_dev = jnp.concatenate([W.W, tail], axis=1)
+            Az, Bz, Cz = S.multiply_vec_device(z_dev)
             from ..polys.eq import eq_evals_device_oneshot
             E = eq_evals_device_oneshot(
                 ops, jnp.asarray(ints_to_limbs_np(taus, field, mont=True)))

@@ -610,7 +610,10 @@ class SpartanInnerRound0:
     of the top half are non-zero; round 0 exploits that structure:
     evaluation needs one num_vars-sized product sum plus num_extra
     correction terms, and the bind collapses to (1 - r0)-scaling for
-    j >= num_extra.
+    j >= num_extra.  ``abc`` arrives at width num_cols = num_vars +
+    num_extra (its nonzero prefix — bind_and_prepare_poly_ABC_device
+    never materializes the zero tail); z's halves are the raw (W, tail)
+    inputs: z_lo = W, z_hi[:num_extra] = tail.
     """
 
     def __init__(self, ops: FieldOps):
@@ -621,16 +624,10 @@ class SpartanInnerRound0:
         ops = self.ops
 
         def step(abc, W, tail, claim, tstate, t_round):
-            # z = (W, 1, public, challenges, 0...) assembled in-kernel:
-            # an eager 2^21-wide concat costs a dispatch + an HBM pass
-            pad = jnp.zeros(
-                (NL, 2 * num_vars - W.shape[1] - tail.shape[1]), jnp.int32)
-            z = jnp.concatenate([W, tail, pad], axis=1)
-            abc_lo, abc_hi = abc[:, :num_vars], abc[:, num_vars:]
-            z_lo, z_hi = z[:, :num_vars], z[:, num_vars:]
-            eval0 = ops.sum_products(abc_lo, z_lo)
-            a_l, a_h = abc_lo[:, :num_extra], abc_hi[:, :num_extra]
-            z_l, z_h = z_lo[:, :num_extra], z_hi[:, :num_extra]
+            abc_lo = abc[:, :num_vars]
+            a_l, a_h = abc[:, :num_extra], abc[:, num_vars:]
+            z_l, z_h = W[:, :num_extra], tail
+            eval0 = ops.sum_products(abc_lo, W)
             corr_low = ops.sum_products(a_l, z_l)
             corr_cross = ops.sum_products(ops.sub(a_h, a_l), ops.sub(z_h, z_l))
             t_inf = ops.add(ops.sub(eval0, corr_low), corr_cross)
@@ -653,7 +650,7 @@ class SpartanInnerRound0:
             abc_head = ops.add(a_l, ops.mont_mul(rb, ops.sub(a_h, a_l)))
             z_head = ops.add(z_l, ops.mont_mul(rb, ops.sub(z_h, z_l)))
             abc_tail = ops.mont_mul(omb, abc_lo[:, num_extra:])
-            z_tail = ops.mont_mul(omb, z_lo[:, num_extra:])
+            z_tail = ops.mont_mul(omb, W[:, num_extra:])
             abc_new = jnp.concatenate([abc_head, abc_tail], axis=1)
             z_new = jnp.concatenate([z_head, z_tail], axis=1)
             return abc_new, z_new, new_claim, r0, coeffs, td.state

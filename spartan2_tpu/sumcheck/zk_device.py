@@ -244,6 +244,10 @@ class ZkInnerRound0:
     runs the VC round, ``bind`` applies the structured fold).
 
     Polys carry a leading K instance axis like the other ZK engines.
+    ``abc``/``z`` arrive at width num_cols = num_vars + num_extra — the
+    nonzero prefix of the virtual 2*num_vars polynomials (the zero tail
+    is never materialized; the reference's lo_eff/hi_eff zero-skip,
+    neutronnova_zk.rs:1889-1920, is this structure made static).
     """
 
     def __init__(self, ops: FieldOps):
@@ -254,9 +258,9 @@ class ZkInnerRound0:
         ops = self.ops
 
         def ev(abc, z):
-            # abc/z: (NL, K, 2*num_vars)
-            abc_lo, abc_hi = abc[..., :num_vars], abc[..., num_vars:]
-            z_lo, z_hi = z[..., :num_vars], z[..., num_vars:]
+            # abc/z: (NL, K, num_vars + num_extra)
+            abc_lo = abc[..., :num_vars]
+            z_lo = z[..., :num_vars]
 
             def psum(x, y):
                 t = ops._mul_cols(x, y)
@@ -270,8 +274,8 @@ class ZkInnerRound0:
                 return ops.acc_reduce(t[..., 0])  # (NL, K)
 
             eval0 = psum(abc_lo, z_lo)
-            a_l, a_h = abc_lo[..., :num_extra], abc_hi[..., :num_extra]
-            z_l, z_h = z_lo[..., :num_extra], z_hi[..., :num_extra]
+            a_l, a_h = abc[..., :num_extra], abc[..., num_vars:]
+            z_l, z_h = z[..., :num_extra], z[..., num_vars:]
             corr_low = psum(a_l, z_l)
             corr_cross = psum(ops.sub(a_h, a_l), ops.sub(z_h, z_l))
             t_inf = ops.add(ops.sub(eval0, corr_low), corr_cross)
@@ -284,10 +288,10 @@ class ZkInnerRound0:
         ops = self.ops
 
         def bind(abc, z, r0):
-            abc_lo, abc_hi = abc[..., :num_vars], abc[..., num_vars:]
-            z_lo, z_hi = z[..., :num_vars], z[..., num_vars:]
-            a_l, a_h = abc_lo[..., :num_extra], abc_hi[..., :num_extra]
-            z_l, z_h = z_lo[..., :num_extra], z_hi[..., :num_extra]
+            abc_lo = abc[..., :num_vars]
+            z_lo = z[..., :num_vars]
+            a_l, a_h = abc[..., :num_extra], abc[..., num_vars:]
+            z_l, z_h = z[..., :num_extra], z[..., num_vars:]
             one = ops.const(ops.spec.r_mod, ())
             one_minus = ops.sub(one, r0)
             rb = jnp.broadcast_to(r0[:, None, None], a_l.shape)
