@@ -445,23 +445,52 @@ class SpartanSNARK:
         td = DeviceTranscript(ops, state=jnp.asarray(
             np.frombuffer(transcript.state, np.uint8)), round=transcript.round)
         zero = ops.const(0)
+        from ..sumcheck.fused import fused_cubic_ok, get_fused_cubic_eq, \
+            get_fused_quad, FUSED_MIN_ROUNDS
+        import os as _os
+
+        fused_on = _os.environ.get("SPARTAN2_FUSED", "1") != "0"
         with span("outer_sumcheck", rounds=num_rounds_x) as sp_outer:
             if mesh is not None and (1 << num_rounds_x) > mesh.devices.size:
-                # sharded Gruen/BDDT rounds (no 2^m eq table on the
-                # mesh either) + single-device tail — byte-identical
-                # to the non-mesh path below
-                from ..parallel.sumcheck_shard import get_sharded_cubic_eq
+                from ..parallel.fused_shard import get_fused_sharded_cubic_eq
 
-                coeffs_outer, r_x_dev, finals_outer, _ = (
-                    get_sharded_cubic_eq(ops, mesh).prove(
+                fsh = get_fused_sharded_cubic_eq(ops, mesh)
+                if (fused_on and fused_cubic_ok(engine.scalar, taus)
+                        and fsh.shardable(num_rounds_x)):
+                    # ONE shard_map dispatch for all rounds (psum'd
+                    # column sums per round, replicated tail)
+                    cbuf, rx_stack, finals_outer, _ = fsh.prove(
+                        td, Az, Bz, Cz, zero, taus, engine.scalar,
+                        zero_check=True)
+                    outer_coeff_cat = cbuf.reshape(NL, 4 * num_rounds_x)
+                else:
+                    # per-round sharded Gruen/BDDT rounds + single-device
+                    # tail — byte-identical to the non-mesh path below
+                    from ..parallel.sumcheck_shard import get_sharded_cubic_eq
+
+                    coeffs_outer, r_x_dev, finals_outer, _ = (
+                        get_sharded_cubic_eq(ops, mesh).prove(
+                            td, Az, Bz, Cz, zero, taus, engine.scalar,
+                            zero_check=True))
+                    rx_stack = jnp.stack(r_x_dev, axis=1)
+                    outer_coeff_cat = jnp.concatenate(coeffs_outer, axis=1)
+            elif fused_on and fused_cubic_ok(engine.scalar, taus):
+                # whole-sum-check single dispatch (sumcheck/fused.py):
+                # per-round kernels each cost ~40ms of tunnel launch
+                # latency; the fused kernel runs all rounds in one
+                cbuf, rx_stack, finals_outer, _ = (
+                    get_fused_cubic_eq(ops).prove(
                         td, Az, Bz, Cz, zero, taus, engine.scalar,
                         zero_check=True))
+                outer_coeff_cat = cbuf.reshape(NL, 4 * num_rounds_x)
             else:
                 # Gruen/BDDT eq-split: no 2^m eq table, 2 sums per round
                 coeffs_outer, r_x_dev, finals_outer, _ = (
                     get_cubic_eq_prover(ops).prove(
                         td, Az, Bz, Cz, zero, taus, engine.scalar,
                         zero_check=True))
+                rx_stack = jnp.stack(r_x_dev, axis=1)
+                outer_coeff_cat = jnp.concatenate(coeffs_outer, axis=1)
             sp_outer.sync(td.state, *finals_outer)
         # ONE host sync for the transcript state + all three final claims
         import jax
@@ -483,8 +512,7 @@ class SpartanSNARK:
         with span("prepare_poly_ABC") as sp:
             # the eq(r_x) table is built inside the kernel from the
             # device-resident challenges — no host round trip, ONE dispatch
-            poly_ABC = S.bind_and_prepare_poly_ABC_device(
-                jnp.stack(r_x_dev, axis=1), r_mont)
+            poly_ABC = S.bind_and_prepare_poly_ABC_device(rx_stack, r_mont)
             sp.sync(poly_ABC)
 
         num_extra = 1 + S.num_public + S.num_challenges
@@ -498,6 +526,7 @@ class SpartanSNARK:
             )
             sp.sync(abc_b, z_b)
         prover_quad = get_quad_prover(ops)
+        inner_coeff_cat = None
         with span("inner_sumcheck", rounds=num_rounds_y) as sp_inner:
             if mesh is not None and num_vars > mesh.devices.size:
                 from ..parallel.mesh import lane_sharding
@@ -525,35 +554,46 @@ class SpartanSNARK:
                     num_rounds_y - 1 - len(r_shq))
                 coeffs_inner = coeffs_shq + coeffs_inner
                 r_y_dev = r_shq + list(r_y_dev)
+            elif fused_on and num_rounds_y - 1 >= FUSED_MIN_ROUNDS:
+                cq, rq, finals_inner, _ = get_fused_quad(ops).prove(
+                    td, abc_b, z_b, claim_dev, num_rounds_y - 1)
+                n_inner = num_rounds_y - 1
+                inner_coeff_cat = jnp.concatenate(
+                    [coeffs_r0, cq.reshape(NL, 3 * n_inner)], axis=1)
+                ry_cat = jnp.concatenate(
+                    [r0_dev[:, None], rq, finals_inner[1][:, None]], axis=1)
             else:
                 coeffs_inner, r_y_dev, finals_inner, _ = prover_quad.prove(
                     td, abc_b, z_b, claim_dev, num_rounds_y - 1
                 )
             sp_inner.sync(td.state, *finals_inner)
+        if inner_coeff_cat is None:
+            n_inner = len(coeffs_inner)
+            inner_coeff_cat = jnp.concatenate([coeffs_r0] + coeffs_inner,
+                                              axis=1)
+            ry_cat = jnp.stack(
+                [r0_dev] + list(r_y_dev) + [finals_inner[1]], axis=1)
         # Batched host pulls: one transfer per group instead of per round.
         with span("tail_sync_pull"):
          state_np, outer_arr, inner_arr, tail_arr = jax.device_get((
-            td.state,
-            jnp.concatenate(coeffs_outer, axis=1),
-            jnp.concatenate([coeffs_r0] + coeffs_inner, axis=1),
-            jnp.stack([r0_dev] + list(r_y_dev) + [finals_inner[1]], axis=1),
+            td.state, outer_coeff_cat, inner_coeff_cat, ry_cat,
         ))
         transcript.state = state_np.tobytes()
         transcript.round = td.round
         outer_vals = limbs_to_ints(outer_arr, engine.scalar, mont=True)
         sc_proof_outer = SumcheckProof(engine.scalar, [
             UniPoly(engine.scalar, outer_vals[4 * i : 4 * i + 4]).compress()
-            for i in range(len(coeffs_outer))
+            for i in range(num_rounds_x)
         ])
 
         inner_vals = limbs_to_ints(inner_arr, engine.scalar, mont=True)
         sc_proof_inner = SumcheckProof(engine.scalar, [
             UniPoly(engine.scalar, inner_vals[3 * i : 3 * i + 3]).compress()
-            for i in range(1 + len(coeffs_inner))
+            for i in range(1 + n_inner)
         ])
 
         tail_vals = limbs_to_ints(tail_arr, engine.scalar, mont=True)
-        r_y = tail_vals[: 1 + len(r_y_dev)]
+        r_y = tail_vals[: 1 + n_inner]
         eval_Z = tail_vals[-1]
 
         # eval_W = (eval_Z - r_y[0] * eval_X) / (1 - r_y[0])  (Z = (W, 1, X))

@@ -48,8 +48,10 @@ _LOG = bool(os.environ.get("SPARTAN2_TPU_TRACE") or os.environ.get("SPARTAN2_JIT
 _MAX_CACHE_HLO = int(os.environ.get("SPARTAN2_TPU_CACHE_MAX_HLO_MB", "8")) * 1_000_000
 # Total on-disk cap: kernel-shape churn across rounds left 7+ GB of
 # stale executables by round 2.  LRU by mtime — loads touch their entry,
-# so the active working set survives and dead shapes age out.
-_MAX_CACHE_GB = float(os.environ.get("SPARTAN2_TPU_CACHE_MAX_GB", "16"))
+# so the active working set survives and dead shapes age out.  The live
+# set (bench + tests + mesh) is ~15 GB of executables on a 250 GB disk;
+# 40 GB keeps churn from evicting live entries between runs.
+_MAX_CACHE_GB = float(os.environ.get("SPARTAN2_TPU_CACHE_MAX_GB", "40"))
 
 
 def _evict_lru() -> None:

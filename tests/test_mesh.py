@@ -191,3 +191,55 @@ def test_mesh_sharded_nn_zk_sumchecks():
     res = subprocess.run([sys.executable, "-c", NN_SCRIPT], env=_mesh_env(),
                          capture_output=True, text=True, timeout=3600)
     assert "NN_MESH_OK" in res.stdout, res.stderr[-3000:]
+
+
+FUSED_SHARD_SCRIPT = r"""
+import numpy as np
+import jax.numpy as jnp
+
+from spartan2_tpu.field.constants import get_field
+from spartan2_tpu.field.jnp_ops import NL, FieldOps
+from spartan2_tpu.field.limbs import ints_to_limbs_np, limbs_to_ints
+from spartan2_tpu.transcript.device import DeviceTranscript
+from spartan2_tpu.sumcheck.fused import FusedSumcheckCubicEq
+from spartan2_tpu.parallel.fused_shard import FusedShardedCubicEq
+from spartan2_tpu.parallel.mesh import make_mesh
+
+spec = get_field("pallas_scalar")
+ops = FieldOps(spec)
+rng = np.random.default_rng(3)
+m = 10
+n = 1 << m
+rand_f = lambda k: jnp.asarray(ints_to_limbs_np(
+    [int(rng.integers(0, 2**63)) % spec.modulus for _ in range(k)], spec))
+A, B, C = rand_f(n), rand_f(n), rand_f(n)
+taus = [int(rng.integers(1, 2**63)) for _ in range(m)]
+claim = rand_f(1)[:, 0]
+
+td1 = DeviceTranscript(ops, label=b"s")
+co1, rs1, fin1, _ = FusedSumcheckCubicEq(ops).prove(
+    td1, A, B, C, claim, taus, spec)
+sh = FusedShardedCubicEq(ops, make_mesh(8))
+assert sh.shardable(m)
+td2 = DeviceTranscript(ops, label=b"s")
+co2, rs2, fin2, _ = sh.prove(td2, A, B, C, claim, taus, spec)
+
+assert (np.asarray(td1.state) == np.asarray(td2.state)).all()
+c1, c2 = np.asarray(co1), np.asarray(co2)
+for j in range(m):
+    assert (limbs_to_ints(c1[:, j, :], spec, mont=True)
+            == limbs_to_ints(c2[:, j, :], spec, mont=True)), j
+print("FUSED_SHARD_OK")
+"""
+
+
+@pytest.mark.skipif(not os.environ.get("SPARTAN2_RUN_MESH"),
+                    reason="slow: CPU-mesh prove (set SPARTAN2_RUN_MESH=1)")
+def test_mesh_fused_sharded_cubic_eq():
+    """The one-dispatch sharded Gruen prover (parallel/fused_shard.py)
+    must be byte-identical to the single-device fused prover (itself
+    byte-identical to the per-round Gruen engine, tests/test_fused.py)."""
+    res = subprocess.run([sys.executable, "-c", FUSED_SHARD_SCRIPT],
+                         env=_mesh_env(), capture_output=True, text=True,
+                         timeout=3600)
+    assert "FUSED_SHARD_OK" in res.stdout, res.stderr[-3000:]
