@@ -69,6 +69,42 @@ def tonelli_shanks(n: int, p: int) -> int | None:
     return r
 
 
+_NATIVE_EC = None
+_NATIVE_PARAMS: dict = {}
+_ZERO64 = b"\x00" * 64
+
+
+def _native_ec():
+    """Lazy-loaded (msm, scalar_mul) over byte buffers from the C
+    library, or None when the toolchain is unavailable."""
+    global _NATIVE_EC
+    if _NATIVE_EC is None:
+        from ..native import load_ec
+
+        _NATIVE_EC = load_ec() or False
+    return _NATIVE_EC or None
+
+
+def _native_params(curve: "CurveSpec") -> bytes:
+    """13 x u64 LE param block: p[4], n0, a_mont[4], r2[4]."""
+    blk = _NATIVE_PARAMS.get(curve.name)
+    if blk is None:
+        p = curve.base.modulus
+        n0 = (-pow(p, -1, 1 << 64)) % (1 << 64)
+        a_mont = curve.a % p * (1 << 256) % p
+        r2 = pow(1 << 256, 2, p)
+        blk = (p.to_bytes(32, "little") + n0.to_bytes(8, "little")
+               + a_mont.to_bytes(32, "little") + r2.to_bytes(32, "little"))
+        _NATIVE_PARAMS[curve.name] = blk
+    return blk
+
+
+def _jac_from_bytes(out: bytes):
+    return (int.from_bytes(out[0:32], "little"),
+            int.from_bytes(out[32:64], "little"),
+            int.from_bytes(out[64:96], "little"))
+
+
 @dataclass(frozen=True)
 class CurveSpec:
     """y^2 = x^3 + a*x + b over ``base``; group order = ``scalar`` modulus."""
@@ -156,6 +192,12 @@ class CurveSpec:
         k %= self.scalar.modulus
         if k == 0 or pt is None:
             return None
+        nat = _native_ec()
+        if nat is not None:
+            out = nat[1](_native_params(self), k.to_bytes(32, "little"),
+                         pt[0].to_bytes(32, "little")
+                         + pt[1].to_bytes(32, "little"))
+            return self.to_affine(_jac_from_bytes(out))
         acc = (0, 1, 0)
         Pj = self.to_jac(pt)
         for bit in bin(k)[2:]:
@@ -167,12 +209,27 @@ class CurveSpec:
     # ---------------- MSM (verifier-side scale) ----------------
 
     def msm(self, scalars: list[int], points: list[Affine]) -> Affine:
-        """Pippenger MSM over python ints (reference: src/provider/msm.rs;
-        re-derived, window c fixed by size)."""
+        """Pippenger MSM (reference: src/provider/msm.rs).  Runs in the
+        native C kernel (native/ec_host.c) when available — the
+        verifier-circuit per-round commitments and verify-side MSMs are
+        host-latency-critical — with this pure-python Pippenger as the
+        always-available fallback (equality-tested against C in
+        tests/test_ec.py)."""
         assert len(scalars) == len(points)
         n = len(scalars)
         if n == 0:
             return None
+        nat = _native_ec()
+        if nat is not None:
+            q = self.scalar.modulus
+            sc = b"".join(int(s % q).to_bytes(32, "little") for s in scalars)
+            pts = b"".join(
+                _ZERO64 if pt is None
+                else pt[0].to_bytes(32, "little")
+                + pt[1].to_bytes(32, "little")
+                for pt in points)
+            out = nat[0](_native_params(self), sc, pts, n)
+            return self.to_affine(_jac_from_bytes(out))
         c = 4 if n < 128 else 8 if n < 32768 else 12
         nbits = self.scalar.modulus.bit_length()
         windows = -(-nbits // c)

@@ -57,3 +57,39 @@ def load_keccak():
         return bytes(out)
 
     return keccak256
+
+
+def load_ec():
+    """-> (msm, scalar_mul) over raw byte buffers, or None.
+
+    msm(params: bytes(13*8), scalars: bytes(32n), points: bytes(64n),
+        n: int) -> bytes(96) canonical Jacobian (Z == 0 => infinity).
+    scalar_mul(params, k: bytes(32), pt: bytes(64)) -> bytes(96).
+    """
+    try:
+        lib = _build("ec_host.c", "ec_host")
+    except Exception:
+        return None
+    fmsm = lib.sp2_ec_msm
+    fmsm.argtypes = [ctypes.POINTER(ctypes.c_uint64), ctypes.c_char_p,
+                     ctypes.c_char_p, ctypes.c_uint64,
+                     ctypes.POINTER(ctypes.c_uint8)]
+    fmsm.restype = None
+    fmul = lib.sp2_ec_scalar_mul
+    fmul.argtypes = [ctypes.POINTER(ctypes.c_uint64), ctypes.c_char_p,
+                     ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8)]
+    fmul.restype = None
+
+    def msm(params: bytes, scalars: bytes, points: bytes, n: int) -> bytes:
+        out = (ctypes.c_uint8 * 96)()
+        pbuf = (ctypes.c_uint64 * 13).from_buffer_copy(params)
+        fmsm(pbuf, scalars, points, n, out)
+        return bytes(out)
+
+    def scalar_mul(params: bytes, k: bytes, pt: bytes) -> bytes:
+        out = (ctypes.c_uint8 * 96)()
+        pbuf = (ctypes.c_uint64 * 13).from_buffer_copy(params)
+        fmul(pbuf, k, pt, out)
+        return bytes(out)
+
+    return msm, scalar_mul

@@ -221,7 +221,10 @@ class MultiRoundState:
         n_p = s.num_vars_per_round[round_index]
         r_w = pcs.blind(ck, n_p, rng=rng)
         seg = self.w[start_p : start_p + n_p]
-        if len(seg) <= 256:
+        # the host C Pippenger (native/ec_host.c) runs a 2048-point row
+        # commit in ~45 ms vs ~150 ms+ for a device dispatch+pull; the
+        # per-round VC commits sit on the prove critical path
+        if len(seg) <= 4096:
             comm = pcs.commit_host(ck, seg, r_w)
         else:
             vm = jnp.asarray(ints_to_limbs_np(seg, s.field, mont=True))

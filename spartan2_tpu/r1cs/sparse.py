@@ -144,21 +144,54 @@ class DeviceSpMV:
         reference's ``build_filtered`` / ``FilteredSpmv``
         (sparse.rs:305-380), used for cached-prefix incremental SpMV."""
         p = m.field.modulus
-        int_by_row: dict[int, list] = {}
-        gen_by_row: dict[int, list] = {}
-        int_entries, gen_entries = [], []
-        for row, col, val in m.iter_entries():
-            if col < col_min or (col_max is not None and col >= col_max):
-                continue
-            col -= col_min
-            k = val if val <= SMALL_MAX else val - p if val >= p - SMALL_MAX else None
-            if k is not None:
-                int_by_row.setdefault(row, []).append((col, k))
-                int_entries.append((row, col, k))
-            else:
-                gen_by_row.setdefault(row, []).append((col, val))
-                gen_entries.append((row, col, val))
-        cls._check_row_density(int_entries, gen_entries, num_rows)
+        # -- entry classification, numpy-vectorized (the per-entry python
+        # dict loops cost ~9 s per matrix at SHA-256 scale; 12 builds per
+        # setup made this the dominant host phase of bench setup) -----
+        all_cols = np.asarray(m.indices, dtype=np.int64)
+        nrows_src = len(m.indptr) - 1
+        all_rows = np.repeat(np.arange(nrows_src, dtype=np.int64),
+                             np.diff(np.asarray(m.indptr, dtype=np.int64)))
+        hi_col = m.cols if col_max is None else col_max
+        if col_min or col_max is not None:
+            keep = (all_cols >= col_min) & (all_cols < hi_col)
+            all_cols = all_cols[keep] - col_min
+            all_rows = all_rows[keep]
+            import itertools
+
+            data_f = list(itertools.compress(m.data, keep.tolist()))
+        else:
+            data_f = m.data
+        # small-int extraction: one C-speed pass over python bigints
+        lo_thresh = p - SMALL_MAX
+        kvals = np.fromiter(
+            ((v + SMALL_MAX + 1 if v <= SMALL_MAX
+              else v - p if v >= lo_thresh else 0)
+             for v in data_f), np.int64, count=len(data_f))
+        is_small = kvals != 0
+        kvals = np.where(kvals > 0, kvals - (SMALL_MAX + 1), kvals)
+
+        rows_i, cols_i, k_i = (all_rows[is_small], all_cols[is_small],
+                               kvals[is_small])
+        g_mask = ~is_small
+        rows_g, cols_g = all_rows[g_mask], all_cols[g_mask]
+        if g_mask.any():
+            import itertools
+
+            vals_g = list(itertools.compress(data_f, g_mask.tolist()))
+        else:
+            vals_g = []
+        cls._check_row_density_np(rows_i, np.abs(k_i), rows_g, num_rows)
+
+        def row_ranks(rows_sorted):
+            """Per-entry rank within its row (entries grouped by row)."""
+            n = len(rows_sorted)
+            if n == 0:
+                return (np.zeros(0, np.int64),) * 4
+            urows, starts, counts = np.unique(
+                rows_sorted, return_index=True, return_counts=True)
+            uidx = np.searchsorted(urows, rows_sorted)
+            rank = np.arange(n, dtype=np.int64) - starts[uidx]
+            return urows, counts, uidx, rank
 
         # Adaptive dense-tier width: K0 = max row width wastes gathers
         # massively on near-empty rows (a transpose matrix averages ~1
@@ -166,78 +199,90 @@ class DeviceSpMV:
         # traffic; measured 534 ms for the SHA poly_ABC bind).  Pick the
         # smallest K0 leaving at most num_rows/32 overflow rows — the
         # compact tiers below handle the heavy tail at ~nnz cost.
-        hist: dict[int, int] = {}
-        for ents in int_by_row.values():
-            hist[len(ents)] = hist.get(len(ents), 0) + 1
-        K0 = 0
+        urows_i, counts_i, uidx_i, rank_i = row_ranks(rows_i)
         allowed = max(num_rows // 32, 1)
-        while (K0 < cls.K0_CAP
-               and sum(c for w, c in hist.items() if w > K0) > allowed):
+        K0 = 0
+        while K0 < cls.K0_CAP and int((counts_i > K0).sum()) > allowed:
             K0 += 1
         t1c = np.zeros((num_rows, K0), np.int32)
         t1k = np.zeros((num_rows, K0), np.int32)
-        over: dict[int, list] = {}
-        for row, ents in int_by_row.items():
-            head = ents[:K0]
-            for j, (c, k) in enumerate(head):
-                t1c[row, j] = c
-                t1k[row, j] = k
-            if len(ents) > K0:
-                over[row] = ents[K0:]
+        head = rank_i < K0
+        if K0 > 0 and head.any():
+            t1c[rows_i[head], rank_i[head]] = cols_i[head]
+            t1k[rows_i[head], rank_i[head]] = k_i[head]
 
-        def compact(by_row: dict, with_vals: bool):
+        def compact(rows_e, cols_e, rank_e, uidx_e, urows_e, counts_e,
+                    int_vals=None, big_vals=None):
             """Width-bucketed compact ELL tiers + ONE shared inverse map.
 
-            Rows are grouped by next-pow2 of their entry count, so pad
-            waste is < 2x even with skewed widths.  All buckets' row
+            Rows are grouped by next-pow2 of their entry count (buckets
+            ordered by first encounter along ascending row index, keeping
+            shapes identical to the original per-row construction), so
+            pad waste is < 2x even with skewed widths.  All buckets' row
             sums are concatenated and re-enter the output through a
-            SINGLE static gather (per-bucket inverse gathers each cost a
-            full num_rows-sized pass — the dominant cost when a skewed
-            width distribution makes many buckets).
+            SINGLE static gather.
             Returns ((cols, coefs_or_vals) blocks, combined inv) or None."""
-            if not by_row:
+            if len(rows_e) == 0:
                 return None
-            buckets: dict[int, list] = {}
-            for r in sorted(by_row):
-                w = len(by_row[r])
-                K1 = 1 << max(w - 1, 0).bit_length()
-                buckets.setdefault(K1, []).append(r)
+            K1s = np.int64(1) << np.ceil(
+                np.log2(np.maximum(counts_e, 1))).astype(np.int64)
+            K1s = np.where(K1s < counts_e, K1s * 2, K1s)  # float safety
+            # first-encounter order over ascending urows
+            _, first_idx = np.unique(K1s, return_index=True)
+            k1_order = K1s[np.sort(first_idx)]
             blocks = []
-            inv = np.zeros(num_rows, np.int32)
+            inv = np.full(num_rows, 0, np.int32)
             off = 0
-            for K1, rows in buckets.items():
-                n2 = len(rows)
-                cols = np.zeros((n2, K1), np.int32)
-                if with_vals:
-                    flat = [0] * (n2 * K1)
-                else:
-                    coefs = np.zeros((n2, K1), np.int32)
-                for i, r in enumerate(rows):
-                    for j, (c, v) in enumerate(by_row[r]):
-                        cols[i, j] = c
-                        if with_vals:
-                            flat[i * K1 + j] = v
-                        else:
-                            coefs[i, j] = v
-                inv[np.asarray(rows, np.int64)] = off + np.arange(
-                    n2, dtype=np.int32)
+            touched = np.zeros(num_rows, bool)
+            for K1 in k1_order:
+                sel_u = K1s == K1  # per-urow bucket membership
+                n2 = int(sel_u.sum())
+                bucket_pos = np.cumsum(sel_u) - 1  # index within bucket
+                sel_e = sel_u[uidx_e]
+                brow = bucket_pos[uidx_e[sel_e]]
+                brank = rank_e[sel_e]
+                cols_arr = np.zeros((n2, int(K1)), np.int32)
+                cols_arr[brow, brank] = cols_e[sel_e]
+                rows_b = urows_e[sel_u]
+                inv[rows_b] = off + np.arange(n2, dtype=np.int32)
+                touched[rows_b] = True
                 off += n2
-                if with_vals:
+                if big_vals is not None:
+                    flat = [0] * (n2 * int(K1))
+                    flat_pos = (brow * int(K1) + brank).tolist()
+                    import itertools
+
+                    for fp, v in zip(flat_pos,
+                                     itertools.compress(big_vals,
+                                                        sel_e.tolist())):
+                        flat[fp] = v
                     vals = jnp.asarray(
                         ints_to_limbs_np(flat, m.field, mont=True)
-                    ).reshape(NL, n2, K1)
-                    blocks.append((jnp.asarray(cols), vals))
+                    ).reshape(NL, n2, int(K1))
+                    blocks.append((jnp.asarray(cols_arr), vals))
                 else:
-                    blocks.append((jnp.asarray(cols), jnp.asarray(coefs)))
+                    coefs = np.zeros((n2, int(K1)), np.int32)
+                    coefs[brow, brank] = int_vals[sel_e]
+                    blocks.append((jnp.asarray(cols_arr), jnp.asarray(coefs)))
             # rows in no bucket point at the zero pad slot (index off)
-            mask = np.ones(num_rows, bool)
-            for rows_list in buckets.values():
-                mask[np.asarray(rows_list, np.int64)] = False
-            inv[mask] = off
+            inv[~touched] = off
             return (blocks, jnp.asarray(inv))
 
-        t2 = compact(over, with_vals=False)
-        gen = compact(gen_by_row, with_vals=True)
+        over_mask = rank_i >= K0
+        if over_mask.any():
+            rows_o, cols_o, k_o = (rows_i[over_mask], cols_i[over_mask],
+                                   k_i[over_mask])
+            urows_o, counts_o, uidx_o, rank_o = row_ranks(rows_o)
+            t2 = compact(rows_o, cols_o, rank_o, uidx_o, urows_o, counts_o,
+                         int_vals=k_o)
+        else:
+            t2 = None
+        if len(rows_g):
+            urows_g, counts_g, uidx_g, rank_g = row_ranks(rows_g)
+            gen = compact(rows_g, cols_g, rank_g, uidx_g, urows_g, counts_g,
+                          big_vals=vals_g)
+        else:
+            gen = None
 
         hi = m.cols if col_max is None else col_max
         return cls(
@@ -247,7 +292,8 @@ class DeviceSpMV:
         )
 
     @staticmethod
-    def _check_row_density(int_entries, gen_entries, num_rows: int) -> None:
+    def _check_row_density_np(rows_int: np.ndarray, mags_int: np.ndarray,
+                              rows_gen: np.ndarray, num_rows: int) -> None:
         """Overflow guard for the lazy int32 accumulation
         (the role of the reference's debug_assert carry checks,
         big_num/limbs.rs:87): each row sum must keep |limb| < 2^29
@@ -259,13 +305,10 @@ class DeviceSpMV:
         from ..errors import InvalidIndexError
 
         budget = np.zeros(num_rows + 1, np.int64)
-        if int_entries:
-            rows = np.fromiter((e[0] for e in int_entries), np.int64)
-            mags = np.fromiter((abs(e[2]) for e in int_entries), np.int64)
-            np.add.at(budget, rows, mags * ((1 << 12) - 1))
-        if gen_entries:
-            rows = np.fromiter((e[0] for e in gen_entries), np.int64)
-            np.add.at(budget, rows, 1 << 13)
+        if len(rows_int):
+            np.add.at(budget, rows_int, mags_int * ((1 << 12) - 1))
+        if len(rows_gen):
+            np.add.at(budget, rows_gen, 1 << 13)
         worst = int(budget.max()) if num_rows else 0
         if worst >= 1 << 29:
             raise InvalidIndexError(

@@ -148,3 +148,35 @@ def test_device_msm_rows_vs_host():
     for r in range(R):
         want = c.msm(scalars[r * I:(r + 1) * I], gens[r * I:(r + 1) * I])
         assert got[r] == want
+
+
+def test_native_msm_matches_python():
+    """The C Pippenger/scalar-mul (native/ec_host.c) must agree with the
+    pure-python host curve ops, incl. infinity points, duplicate points,
+    zero and order-1 scalars, on a = 0 and a != 0 curves."""
+    import numpy as np
+
+    import spartan2_tpu.ec.curve as ec
+
+    if ec._native_ec() is None:
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(9)
+    for name in ("pallas", "p256", "bn254"):
+        cv = ec.get_curve(name)
+        q = cv.scalar.modulus
+        pts = list(cv.from_label(b"t", 32))
+        pts[2] = None
+        pts[3] = pts[4]
+        scal = [int(rng.integers(0, 2**62)) * int(rng.integers(0, 2**62)) % q
+                for _ in range(32)]
+        scal[0], scal[1] = 0, q - 1
+        try:
+            ec._NATIVE_EC = False
+            ref_msm = cv.msm(scal, pts)
+            ref_mul = cv.scalar_mul(scal[5], pts[7])
+        finally:
+            ec._NATIVE_EC = None
+        assert cv.msm(scal, pts) == ref_msm, name
+        assert cv.scalar_mul(scal[5], pts[7]) == ref_mul, name
