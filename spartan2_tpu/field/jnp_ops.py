@@ -329,6 +329,109 @@ class FieldOps:
             n //= k
         return self.acc_reduce(cols[..., 0])
 
+    # ------------------------------------------------------------------
+    # MXU (int8 matmul) contractions
+    #
+    # The sum-check's hot reductions are contractions over the hypercube
+    # axis: sum_n a[:, n] * b[:, n].  In limb space that is
+    # sum_{i+j=c} G[i, j] with G = a @ b^T — a MATMUL over the batch
+    # axis, which belongs on the MXU (pallas_guide.md: the systolic
+    # array takes int8 x int8 -> int32).  12-bit limbs split into two
+    # 6-bit int8 planes; products are < 2^12 so a 2^17-element chunk
+    # accumulates exactly in int32.  The VPU formulation
+    # (_mul_cols + carries + tiled adds, ~1000 int32 MACs per element)
+    # measured ~28 ms per fused outer round at 2^19; the MXU contraction
+    # is ~2 G int8-MACs — noise against the systolic array's throughput.
+    # ------------------------------------------------------------------
+    @staticmethod
+    def to6(a: jnp.ndarray) -> jnp.ndarray:
+        """(NL, *batch) 12-bit limbs -> (2NL, *batch) int8 6-bit planes;
+        plane k carries weight 2^(6k)."""
+        lo = (a & 63).astype(jnp.int8)
+        hi = (a >> 6).astype(jnp.int8)
+        return jnp.stack([lo, hi], axis=1).reshape((2 * NL,) + a.shape[1:])
+
+    def _cols_from_planes(self, planes: list) -> jnp.ndarray:
+        """[(2NL+?, ...) int32 6-bit-weighted plane p shifted by 12*m]
+        -> (ACC_COLS, ...) 12-bit wide columns.
+
+        ``planes[m]`` holds anti-diagonal sums d with value
+        sum_c d[c] * 2^(6c + 12m).  Every input must keep the combined
+        column magnitudes < 2^30 (callers bound their chunk counts)."""
+        n6 = planes[0].shape[0]
+        batch = planes[0].shape[1:]
+        cols = jnp.zeros((ACC_COLS,) + batch, I32)
+        for mshift, d in enumerate(planes):
+            even = d[0::2]  # c = 2k -> limb k + mshift
+            odd = d[1::2]   # c = 2k+1 -> 64 * (limb k + mshift)
+            ke = even.shape[0]
+            cols = cols.at[mshift : mshift + ke].add(even)
+            ko = odd.shape[0]
+            cols = cols.at[mshift : mshift + ko].add(odd * 64)
+        return cols
+
+    @staticmethod
+    def _diag_sums(G: jnp.ndarray) -> jnp.ndarray:
+        """(K, K, *batch) -> (2K-1, *batch): d[c] = sum_{i+j=c} G[i,j]."""
+        K = G.shape[0]
+        batch = G.shape[2:]
+        d = jnp.zeros((2 * K - 1,) + batch, I32)
+        for i in range(K):
+            d = d.at[i : i + K].add(G[i])
+        return d
+
+    MXU_CHUNK = 1 << 17  # int32-exact accumulation bound for 6-bit products
+
+    def sum_products_mxu(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        """MXU twin of sum_products: one int8 matmul per 2^17 chunk.
+
+        a/b: (NL, n) loose Montgomery limbs; returns (NL,) loose
+        Montgomery sum-of-products (bit-identical semantics to
+        sum_products; equality-tested in tests/test_field.py)."""
+        n = a.shape[-1]
+        assert n <= 1 << 21, "column-magnitude budget (see _cols_from_planes)"
+        a6 = self.to6(a)
+        b6 = self.to6(b)
+        nch = -(-n // self.MXU_CHUNK)
+        if n < nch * self.MXU_CHUNK:
+            pad = nch * self.MXU_CHUNK - n
+            a6 = jnp.concatenate(
+                [a6, jnp.zeros((2 * NL, pad), jnp.int8)], axis=1)
+            b6 = jnp.concatenate(
+                [b6, jnp.zeros((2 * NL, pad), jnp.int8)], axis=1)
+        g0 = g1 = g2 = jnp.zeros((2 * NL, 2 * NL), I32)
+        for c in range(nch):
+            sl = slice(c * self.MXU_CHUNK, (c + 1) * self.MXU_CHUNK)
+            G = jax.lax.dot_general(
+                a6[:, sl], b6[:, sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=I32)
+            g0 = g0 + (G & 4095)
+            g1 = g1 + ((G >> 12) & 4095)
+            g2 = g2 + (G >> 24)
+        cols = self._cols_from_planes(
+            [self._diag_sums(g0), self._diag_sums(g1), self._diag_sums(g2)])
+        return self.acc_reduce(cols)
+
+    def weighted_inner_mxu(self, w: jnp.ndarray, f: jnp.ndarray) -> jnp.ndarray:
+        """inner[l] = sum_r w[:, r] * f[:, l, r] on the MXU.
+
+        w: (NL, R), f: (NL, L, R), R <= 4096 (int32-exact accumulation).
+        Returns (NL, L) loose Montgomery — the inner stage of the Gruen
+        two-level weighted sum (sumcheck/fused.py)."""
+        R = f.shape[-1]
+        assert R <= 4096
+        f6 = self.to6(f)              # (44, L, R)
+        w6 = self.to6(w)              # (44, R)
+        P = jax.lax.dot_general(
+            f6, w6, (((2,), (1,)), ((), ())),
+            preferred_element_type=I32)  # (44, L, 44): sum_r f6[i,l,r]w6[j,r]
+        P = jnp.moveaxis(P, 1, 2)        # (44, 44, L)
+        p0 = P & 4095
+        p1 = P >> 12                      # < 2^10 for R <= 4096
+        cols = self._cols_from_planes(
+            [self._diag_sums(p0), self._diag_sums(p1)])
+        return self.acc_reduce(cols)
+
     @staticmethod
     def _parallel_carry(t: jnp.ndarray) -> jnp.ndarray:
         """One parallel carry step; appends a spill column."""
@@ -352,13 +455,16 @@ class FieldOps:
         low = t & MASK
         return low.at[1:].add(t[:-1] >> B)
 
-    def acc_reduce(self, acc: jnp.ndarray) -> jnp.ndarray:
+    def acc_reduce(self, acc: jnp.ndarray, extra_const: int = 1) -> jnp.ndarray:
         """Collapse a wide accumulator to a loose Montgomery element.
 
         Input: (C,*batch) columns, C <= ACC_COLS, non-negative value
-        < 2^540.  Returns sum * R^{-1} in [0, 2p) — i.e. the Montgomery
-        form of the sum when the accumulated products were of Montgomery
-        operands.
+        < 2^540.  Returns sum * R^{-1} * extra_const in [0, 2p) — i.e.
+        the Montgomery form of the sum when the accumulated products
+        were of Montgomery operands.  ``extra_const`` folds a follow-up
+        constant multiply into the one the reduction already needs
+        (callers like _reduce_lazy otherwise pay a second full
+        mul_const pass over the whole row axis).
         """
         C = acc.shape[0]
         assert C <= ACC_COLS
@@ -366,8 +472,8 @@ class FieldOps:
         t = self._carry_list([acc[i] for i in range(C)], ACC_COLS)
         k = ACC_COLS - NL  # eliminate 24 limbs -> factor 2^{-288}
         v = self._redc_cols(jnp.stack(t), k)
-        # v = S * 2^{-12k}; want S * R^{-1} = v * (2^{12k} mod p) * R^{-1}.
-        return self.mul_const(v, pow(2, B * k, self.p))
+        # v = S * 2^{-12k}; want S * R^{-1} * extra = v * (2^{12k} * extra).
+        return self.mul_const(v, pow(2, B * k, self.p) * extra_const % self.p)
 
 
 # ---------------------------------------------------------------------------

@@ -410,5 +410,6 @@ def _reduce_lazy(ops: FieldOps, t: jnp.ndarray) -> jnp.ndarray:
     acc = jnp.zeros((2 * NL + 2,) + t.shape[1:], jnp.int32)
     acc = acc.at[:NL].add(t)
     acc = acc + off
-    v = ops.acc_reduce(acc)
-    return ops.mul_const(v, ops.spec.r2_mod)
+    # R^2 folded into acc_reduce's constant multiply: a second full-row
+    # mul_const pass at 2^20+ rows cost ~40 ms per SpMV apply
+    return ops.acc_reduce(acc, extra_const=ops.spec.r2_mod)

@@ -39,6 +39,7 @@ absorbing, so the bytes are identical and the loop body stays uniform.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -58,6 +59,14 @@ I32 = jnp.int32
 # path fuses small tails already) and every extra (m, spec) pair costs a
 # fresh compile; callers fall back to the per-round provers.
 FUSED_MIN_ROUNDS = 10
+
+
+def _mxu_on() -> bool:
+    """Route the evaluation sums through the MXU int8 contractions
+    (field/jnp_ops.py sum_products_mxu): the VPU reduction chain was
+    ~70% of the fused outer kernel (knockout-profiled round 4).
+    SPARTAN2_MXU=0 reverts to the VPU path."""
+    return os.environ.get("SPARTAN2_MXU", "1") != "0"
 
 
 def _dus(buf, val, idx):
@@ -119,9 +128,15 @@ class FusedSumcheckCubicEq:
         self.ops = ops
 
     def _two_level(self, ER, EL_masked, f):
-        """sum_{a,b} EL[a] * ER[b] * f[a, b] with one wide REDC per level;
-        f is (NL, L, R)."""
+        """sum_{a,b} EL[a] * ER[b] * f[a, b]; f is (NL, L, R).
+
+        MXU path: the inner contraction over R is an int8 matmul of the
+        6-bit limb planes, the outer over L another; the VPU fallback
+        (SPARTAN2_MXU=0) keeps the wide-column reduction chain."""
         ops = self.ops
+        if _mxu_on() and f.shape[2] <= 4096:
+            inner = ops.weighted_inner_mxu(ER, f)  # (NL, L)
+            return ops.sum_products_mxu(EL_masked, inner)
         t = ops._mul_cols(ER[:, None, :], f)  # (43, L, R)
         t = ops._parallel_carry(t)
         n = f.shape[2]
@@ -210,8 +225,9 @@ class FusedSumcheckCubicEq:
                 w = jnp.where(jnp.arange(R) < half, ER, 0)
                 f0 = ops.sub(ops.mont_mul(A_l, B_l), C_l)
                 finf = ops.mont_mul(A_d, B_d)
-                t0s = ops.sum_products(w, f0)
-                tinfs = ops.sum_products(w, finf)
+                sp = ops.sum_products_mxu if _mxu_on() else ops.sum_products
+                t0s = sp(w, f0)
+                tinfs = sp(w, finf)
                 coeffs, r, claim, P, tstate = finish(
                     j, c5, t0s, tinfs, P, claim, tstate)
                 rb = jnp.broadcast_to(r[:, None], (NL, R))
@@ -231,7 +247,7 @@ class FusedSumcheckCubicEq:
             return (cbuf, rbuf, Af[:, 0], Bf[:, 0], Cf[:, 0], claim, tstate)
 
         return cached_jit(kernel,
-                          fastkey=("fused_cubiceq", ops.spec.name, m))
+                          fastkey=("fused_cubiceq", ops.spec.name, m, _mxu_on()))
 
     def prove(self, td: DeviceTranscript, A, Bp, C, claim, taus: list[int],
               spec, zero_check: bool = False):
@@ -275,8 +291,9 @@ class FusedSumcheckQuad:
                 B_h = jax.lax.dynamic_slice(B, (0, half), (NL, H))
                 A_d, B_d = ops.sub(A_h, A_l), ops.sub(B_h, B_l)
                 mask = jnp.arange(H) < half
-                t0 = ops.sum_products(jnp.where(mask, A_l, 0), B_l)
-                t_inf = ops.sum_products(jnp.where(mask, A_d, 0), B_d)
+                sp = ops.sum_products_mxu if _mxu_on() else ops.sum_products
+                t0 = sp(jnp.where(mask, A_l, 0), B_l)
+                t_inf = sp(jnp.where(mask, A_d, 0), B_d)
                 e2 = ops.add(ops.sub(ops.double(claim),
                                      ops.add(ops.double(t0), t0)),
                              ops.double(t_inf))
@@ -301,7 +318,7 @@ class FusedSumcheckQuad:
                 0, m, body, (A, B, claim, tstate, cbuf, rbuf))
             return cbuf, rbuf, A2[:, 0], B2[:, 0], claim, tstate
 
-        return cached_jit(kernel, fastkey=("fused_quad", ops.spec.name, m))
+        return cached_jit(kernel, fastkey=("fused_quad", ops.spec.name, m, _mxu_on()))
 
     def prove(self, td: DeviceTranscript, A, Bp, claim, num_rounds: int):
         """Stacked-output twin of SumcheckProverQuad.prove:

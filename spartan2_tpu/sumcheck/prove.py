@@ -624,10 +624,15 @@ class SpartanInnerRound0:
         ops = self.ops
 
         def step(abc, W, tail, claim, tstate, t_round):
+            import os as _os
+
+            sp = (ops.sum_products_mxu
+                  if _os.environ.get("SPARTAN2_MXU", "1") != "0"
+                  and num_vars <= 1 << 21 else ops.sum_products)
             abc_lo = abc[:, :num_vars]
             a_l, a_h = abc[:, :num_extra], abc[:, num_vars:]
             z_l, z_h = W[:, :num_extra], tail
-            eval0 = ops.sum_products(abc_lo, W)
+            eval0 = sp(abc_lo, W)
             corr_low = ops.sum_products(a_l, z_l)
             corr_cross = ops.sum_products(ops.sub(a_h, a_l), ops.sub(z_h, z_l))
             t_inf = ops.add(ops.sub(eval0, corr_low), corr_cross)
@@ -655,7 +660,11 @@ class SpartanInnerRound0:
             z_new = jnp.concatenate([z_head, z_tail], axis=1)
             return abc_new, z_new, new_claim, r0, coeffs, td.state
 
-        return cached_jit(step, fastkey=("sc_inner0", ops.spec.name, num_vars, num_extra))
+        import os as _os
+
+        return cached_jit(step, fastkey=(
+            "sc_inner0", ops.spec.name, num_vars, num_extra,
+            _os.environ.get("SPARTAN2_MXU", "1") != "0"))
 
     def run(self, td: DeviceTranscript, abc, W, tail, claim,
             num_vars: int, num_extra: int):

@@ -253,3 +253,47 @@ def test_sparse_random_roundtrip_property():
         got = limbs_to_ints(ops.from_mont(prog.multiply_vec(zd)), F,
                             mont=False)
         assert got == [w % p for w in want]
+
+
+def test_sum_products_mxu_bit_identical():
+    """The MXU int8-matmul contraction must produce the same LIMBS (not
+    just the same value mod p) as the VPU delayed-reduction path — both
+    normalize the identical integer sum."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from spartan2_tpu.field.constants import get_field
+    from spartan2_tpu.field.jnp_ops import NL, FieldOps
+    from spartan2_tpu.field.limbs import ints_to_limbs_np
+
+    spec = get_field("pallas_scalar")
+    ops = FieldOps(spec)
+    rng = np.random.default_rng(13)
+
+    def rand_f(k):
+        return jnp.asarray(ints_to_limbs_np(
+            [int(rng.integers(0, 2**63)) % spec.modulus for _ in range(k)],
+            spec))
+
+    for n in (8, 1024):
+        a, b = rand_f(n), rand_f(n)
+        r1 = np.asarray(jax.device_get(ops.sum_products(a, b)))
+        r2 = np.asarray(jax.device_get(jax.jit(ops.sum_products_mxu)(a, b)))
+        assert (r1 == r2).all(), n
+
+    # weighted inner stage (Gruen two-level)
+    L, R = 8, 64
+    f = rand_f(L * R).reshape(NL, L, R)
+    w = rand_f(R)
+    t = ops._mul_cols(w[:, None, :], f)
+    t = ops._parallel_carry(t)
+    n = R
+    while n > 1:
+        k = min(n, 4096)
+        t = t.reshape(t.shape[:2] + (n // k, k)).sum(axis=-1)
+        t = ops._parallel_carry(t)
+        n //= k
+    ref = np.asarray(jax.device_get(ops.acc_reduce(t[..., 0])))
+    got = np.asarray(jax.device_get(jax.jit(ops.weighted_inner_mxu)(w, f)))
+    assert (ref == got).all()
