@@ -479,6 +479,7 @@ class HyraxPCS:
             return HyraxEvaluationArgument(
                 IpaProof(delta, beta, z_vec, z_delta, z_beta))
 
+        pre_delta = None
         if num_vars_rows == 0:
             comm_LZ = comm.comm[0]
             Rv = eq_evals_host(scalar, point)
@@ -493,18 +494,33 @@ class HyraxPCS:
                 LZ_dev = self._bind_rows_device(poly_mont, L, len(Rv))
             r_LZ = sum(l * b for l, b in zip(L, blind.blind)) % p
             with _span("hyrax_msm_LZ"):
-                # dispatch the device MSM first, then pull LZ for the IPA
-                # while the MSM executes (async dispatch overlap)
+                # dispatch the comm_LZ MSM, then queue the IPA's delta
+                # MSM behind it (independent work) BEFORE any pull, so
+                # both execute while the host waits once — previously
+                # delta was dispatched only after the comm_LZ affine
+                # pull, serializing ~150 ms of device work
                 pts = ck.comb(NL * 12).rows_msm(LZ_dev[:, None, :])
                 bl = ck.comb_h().rows_msm(jnp.asarray(ints_to_limbs_np(
                     [r_LZ], scalar, mont=False))[:, :, None])
                 total = self.dc.add(pts, bl)
+                rand = rng if rng is not None else secrets.randbelow
+                d_vec = [rand(p) for _ in Rv]
+                r_delta = rand(p)
+                dv = jnp.asarray(ints_to_limbs_np(d_vec, scalar, mont=False))
+                dpts = ck.comb(NL * 12).rows_msm(dv[:, None, :])
+                dbl_ = ck.comb_h().rows_msm(jnp.asarray(ints_to_limbs_np(
+                    [r_delta], scalar, mont=False))[:, :, None])
+                delta_total = self.dc.add(dpts, dbl_)
                 LZ = limbs_to_ints(np.asarray(LZ_dev), scalar, mont=False)
-                comm_LZ = self.dc.to_affine_host(total)[0]
+                affs = self.dc.to_affine_host(tuple(
+                    jnp.concatenate([a, b], axis=1)
+                    for a, b in zip(total, delta_total)))
+                comm_LZ = affs[0]
+                pre_delta = (affs[1], d_vec, r_delta)
 
         ipa = self._ipa_prove(
             ck, ck_eval, comm_LZ, Rv, comm_eval.comm[0], LZ, r_LZ,
-            blind_eval.blind[0], transcript, rng,
+            blind_eval.blind[0], transcript, rng, pre_delta=pre_delta,
         )
         return HyraxEvaluationArgument(ipa)
 
@@ -546,7 +562,10 @@ class HyraxPCS:
 
     def _ipa_prove(self, ck, ck_eval, comm_a: Affine, b_vec: list[int],
                    comm_c: Affine, a_vec: list[int], r_a: int, r_c: int,
-                   transcript: Transcript, rng=None) -> IpaProof:
+                   transcript: Transcript, rng=None,
+                   pre_delta=None) -> IpaProof:
+        """``pre_delta``: optional (delta, d_vec, r_delta) computed by the
+        caller with its MSM overlapped behind other device work."""
         scalar = self.curve.scalar
         p = scalar.modulus
         rand = rng if rng is not None else secrets.randbelow
@@ -554,19 +573,24 @@ class HyraxPCS:
 
         from ..utils.tracing import span as _span
 
-        d_vec = [rand(p) for _ in b_vec]
-        r_delta = rand(p)
-        r_beta = rand(p)
-        with _span("ipa_msm_delta"):
-            C = ck.num_cols
-            if len(d_vec) == C:
-                dv = jnp.asarray(ints_to_limbs_np(d_vec, scalar, mont=False))
-                delta = self._msm_gens_blinded_dev(ck, dv, r_delta)
-            else:
-                delta = self.curve.add(
-                    self._msm_gens(ck, d_vec),
-                    self.curve.scalar_mul(r_delta, ck.h),
-                )
+        if pre_delta is not None:
+            delta, d_vec, r_delta = pre_delta
+            r_beta = rand(p)
+        else:
+            d_vec = [rand(p) for _ in b_vec]
+            r_delta = rand(p)
+            r_beta = rand(p)
+            with _span("ipa_msm_delta"):
+                C = ck.num_cols
+                if len(d_vec) == C:
+                    dv = jnp.asarray(
+                        ints_to_limbs_np(d_vec, scalar, mont=False))
+                    delta = self._msm_gens_blinded_dev(ck, dv, r_delta)
+                else:
+                    delta = self.curve.add(
+                        self._msm_gens(ck, d_vec),
+                        self.curve.scalar_mul(r_delta, ck.h),
+                    )
         ip_bd = sum(x * y for x, y in zip(b_vec, d_vec)) % p
         beta = self.curve.add(
             self.curve.scalar_mul(ip_bd, ck_eval.ck[0]),
