@@ -231,6 +231,13 @@ class FusedShardedCubicEq:
         cbuf, rbuf, a0, b0, c0, claim, tstate = self._kernel(m)(
             gA, gB, gC, consts, el0, taus_hi, claim, tstate,
             round_dev(int(td.round)))
+        # outputs are mesh-replicated; the downstream pipeline (poly_ABC
+        # bind, inner sum-check, pulls) runs single-device kernels — pin
+        # everything to device 0 like the per-round sharded prover does
+        dev0 = jax.devices()[0]
+        cbuf, rbuf, a0, b0, c0, claim, tstate = (
+            jax.device_put(x, dev0)
+            for x in (cbuf, rbuf, a0, b0, c0, claim, tstate))
         td.state = tstate
         td.round += m
         return cbuf, rbuf, (a0, b0, c0), claim
