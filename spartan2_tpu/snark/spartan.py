@@ -549,6 +549,11 @@ class SpartanSNARK:
                 abc_b, z_b, claim_dev = (
                     jax.device_put(x, dev0) for x in (abc_b, z_b, claim_dev))
                 td.state = jax.device_put(td.state, dev0)
+                # the sharded rounds' coefficient/challenge outputs are
+                # mesh-replicated; the batched tail pull concatenates
+                # them with single-device arrays
+                coeffs_shq = [jax.device_put(c, dev0) for c in coeffs_shq]
+                r_shq = [jax.device_put(r, dev0) for r in r_shq]
                 coeffs_inner, r_y_dev, finals_inner, _ = prover_quad.prove(
                     td, abc_b, z_b, claim_dev,
                     num_rounds_y - 1 - len(r_shq))
