@@ -84,12 +84,19 @@ def bench_sha256_prove():
     engine = get_engine(os.environ.get("BENCH_ENGINE", "P256HyraxEngine"))
 
     det = lambda seed: (lambda q, r=random.Random(seed).randrange: r(q))
+    # all four reference phases (benches/sha256_spartan.rs:198-258)
+    t0 = time.time()
     pk, vk = SpartanSNARK.setup(engine, circuit, width=2048)
+    setup_s = time.time() - t0
+    t0 = time.time()
     prep = SpartanSNARK.prep_prove(pk, circuit, is_small=True, rng=det(1))
+    prep_s = time.time() - t0
 
     # warm-up prove (compiles all per-round kernels once; cached on disk)
     proof, prep = SpartanSNARK.prove(pk, circuit, prep, is_small=True, rng=det(2))
+    t0 = time.time()
     assert SpartanSNARK.verify(proof, vk) == circuit.public_values()
+    verify_s = time.time() - t0
     from spartan2_tpu.utils.serde import spartan_proof_to_bytes
 
     proof_bytes = len(spartan_proof_to_bytes(proof, engine))
@@ -112,6 +119,9 @@ def bench_sha256_prove():
         "baseline": f"estimated Rust 16-core x86: {baseline_s:.2f}s (no published numbers)",
         "proof_bytes": proof_bytes,
         "engine": engine.name,
+        "setup_s": round(setup_s, 2),
+        "prep_prove_s": round(prep_s, 2),
+        "verify_s": round(verify_s, 3),
     }
 
 
@@ -133,13 +143,19 @@ def bench_neutronnova():
     engine = get_engine(os.environ.get("BENCH_ENGINE", "P256HyraxEngine"))
     det = lambda seed: (lambda q, r=random.Random(seed).randrange: r(q))
 
+    t0 = time.time()
     pk, vk = NeutronNovaZkSNARK.setup(engine, step_circuits[0], core, n_steps,
                                       width=2048)
+    setup_s = time.time() - t0
+    t0 = time.time()
     prep = NeutronNovaZkSNARK.prep_prove(pk, step_circuits, core,
                                          is_small=True, rng=det(1))
+    prep_s = time.time() - t0
     proof, prep = NeutronNovaZkSNARK.prove(pk, step_circuits, core, prep,
                                            is_small=True, rng=det(2))
+    t0 = time.time()
     NeutronNovaZkSNARK.verify(proof, vk, n_steps)
+    verify_s = time.time() - t0
     size = len(neutronnova_proof_to_bytes(proof, engine))
 
     t0 = time.time()
@@ -156,6 +172,9 @@ def bench_neutronnova():
         "baseline": f"estimated Rust 16-core x86: {baseline_s:.2f}s (no published numbers)",
         "proof_bytes": size,
         "engine": engine.name,
+        "setup_s": round(setup_s, 2),
+        "prep_prove_s": round(prep_s, 2),
+        "verify_s": round(verify_s, 3),
     }
 
 

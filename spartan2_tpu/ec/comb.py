@@ -95,11 +95,16 @@ class FixedBaseComb:
 
             inf = dc.infinity((n_win, C))
             _, tab = jax.lax.scan(chain, inf, None, length=DIGITS - 1)
-            # tab: tuple of (DIGITS-1, NL, n_win, C); prepend the identity
+            # tab: tuple of (DIGITS-1, NL, n_win, C); prepend the identity.
+            # Tables are stored PACKED two limbs per int32 (pack2): the
+            # per-window gathers are traffic-bound and the full-width
+            # tables are ~1.5 GB of HBM unpacked at C=2048.
+            from ..field.jnp_ops import pack2
+
             return tuple(
-                jnp.concatenate([i[None], t], axis=0)  # (DIGITS, NL, n_win, C)
-                .transpose(1, 2, 0, 3)                 # (NL, n_win, DIGITS, C)
-                .reshape(NL, -1)
+                pack2(jnp.concatenate([i[None], t], axis=0)
+                      .transpose(1, 2, 0, 3)            # (NL, n_win, DIGITS, C)
+                      .reshape(NL, -1))
                 for i, t in zip(inf, tab)
             )
 
@@ -133,9 +138,12 @@ class FixedBaseComb:
             # addend, so acc == +-addend needs a mod-q wrap — impossible
             # for small-width scalars, negligible for honest full-width
             # ones (complete=True covers adversarial inputs).
+            from ..field.jnp_ops import unpack2
+
             def win_body(w, acc):
                 idx = (w * DIGITS + d[w]) * C + col  # (R, C)
-                P = tuple(jnp.take(T, idx, axis=1) for T in (Tx, Ty, Tz))
+                P = tuple(unpack2(jnp.take(T, idx, axis=1))
+                          for T in (Tx, Ty, Tz))
                 return addf(acc, P)
 
             acc = jax.lax.fori_loop(0, n_win, win_body, dc.infinity((R, C)))

@@ -276,7 +276,42 @@ class CurveSpec:
         hash-to-curve deviation.
         """
         xof = hashlib.shake_256(label).digest(32 * n)
-        return [self.hash_to_curve(xof[32 * i : 32 * i + 32]) for i in range(n)]
+        # Generators are deterministic public parameters; cache them on
+        # disk next to the jit cache (try-and-increment sqrt per point
+        # costs seconds of host time per 2048-wide key at setup).
+        try:
+            import numpy as _np
+
+            from ..utils.jitcache import _CACHE_DIR as _CD
+            import os as _os
+
+            key = hashlib.sha256(
+                f"{self.name}|{n}".encode() + label).hexdigest()[:24]
+            path = _os.path.join(_CD, f"gens-{key}.npy")
+            if _os.path.exists(path):
+                arr = _np.load(path, allow_pickle=False)
+                pts = [(int.from_bytes(bytes(row[:32]), "little"),
+                        int.from_bytes(bytes(row[32:]), "little"))
+                       for row in arr]
+                if len(pts) == n and all(self.is_on_curve(pt) for pt in pts):
+                    return pts
+        except Exception:
+            path = None
+        pts = [self.hash_to_curve(xof[32 * i : 32 * i + 32]) for i in range(n)]
+        if path is not None:
+            try:
+                _os.makedirs(_CD, exist_ok=True)
+                arr = _np.frombuffer(
+                    b"".join(pt[0].to_bytes(32, "little")
+                             + pt[1].to_bytes(32, "little") for pt in pts),
+                    dtype=_np.uint8).reshape(n, 64)
+                tmp = path + f".tmp{_os.getpid()}"
+                with open(tmp, "wb") as f:
+                    _np.save(f, arr)
+                _os.replace(tmp, path)
+            except Exception:
+                pass
+        return pts
 
     # ---------------- serialization ----------------
 

@@ -23,6 +23,8 @@ Everything here is pure JAX and jit-safe; it runs identically on CPU
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -58,6 +60,11 @@ class FieldOps:
         self.two_p_limbs = _const_limbs(2 * p)
         self.one_mont = _const_limbs(spec.r_mod)
         self.r2 = _const_limbs(spec.r2_mod)
+        # full-word Montgomery constant N' = -p^{-1} mod R (R = 2^264),
+        # used by the band-matmul scalar REDC (mont_mul_scalar_mxu)
+        R_full = 1 << (B * NL)
+        self.n_prime = (-pow(p, -1, R_full)) % R_full
+        self.r_inv = pow(spec.r_mod, -1, p)
 
         # jit the hot entry points (constants close over; cached per instance).
         # Inside larger jitted programs these trace through transparently.
@@ -345,22 +352,24 @@ class FieldOps:
     # ------------------------------------------------------------------
     @staticmethod
     def to6(a: jnp.ndarray) -> jnp.ndarray:
-        """(NL, *batch) 12-bit limbs -> (2NL, *batch) int8 6-bit planes;
-        plane k carries weight 2^(6k)."""
+        """(K, *batch) 12-bit columns -> (2K, *batch) int8 6-bit planes;
+        plane k carries weight 2^(6k).  Columns may be near-normalized
+        (< 2^12 + 2^6): the hi plane then reaches 64, still int8."""
         lo = (a & 63).astype(jnp.int8)
         hi = (a >> 6).astype(jnp.int8)
-        return jnp.stack([lo, hi], axis=1).reshape((2 * NL,) + a.shape[1:])
+        return jnp.stack([lo, hi], axis=1).reshape(
+            (2 * a.shape[0],) + a.shape[1:])
 
-    def _cols_from_planes(self, planes: list) -> jnp.ndarray:
+    def _cols_from_planes(self, planes: list, ncols: int = ACC_COLS) -> jnp.ndarray:
         """[(2NL+?, ...) int32 6-bit-weighted plane p shifted by 12*m]
-        -> (ACC_COLS, ...) 12-bit wide columns.
+        -> (ncols, ...) 12-bit wide columns.
 
         ``planes[m]`` holds anti-diagonal sums d with value
         sum_c d[c] * 2^(6c + 12m).  Every input must keep the combined
         column magnitudes < 2^30 (callers bound their chunk counts)."""
         n6 = planes[0].shape[0]
         batch = planes[0].shape[1:]
-        cols = jnp.zeros((ACC_COLS,) + batch, I32)
+        cols = jnp.zeros((ncols,) + batch, I32)
         for mshift, d in enumerate(planes):
             even = d[0::2]  # c = 2k -> limb k + mshift
             odd = d[1::2]   # c = 2k+1 -> 64 * (limb k + mshift)
@@ -427,10 +436,199 @@ class FieldOps:
             preferred_element_type=I32)  # (44, L, 44): sum_r f6[i,l,r]w6[j,r]
         P = jnp.moveaxis(P, 1, 2)        # (44, 44, L)
         p0 = P & 4095
-        p1 = P >> 12                      # < 2^10 for R <= 4096
+        # P < 63*63*R <= 63*63*4096 ~ 2^24, so p1 < 2^12; the resulting
+        # _cols_from_planes column bound (~44 * 2^12 * 65 ~ 2^25) is what
+        # justifies R <= 4096 — widening R needs a third plane.
+        p1 = P >> 12
         cols = self._cols_from_planes(
             [self._diag_sums(p0), self._diag_sums(p1)])
         return self.acc_reduce(cols)
+
+    @staticmethod
+    def _diag_sums_rect(G: jnp.ndarray) -> jnp.ndarray:
+        """(K1, K2, *batch) -> (K1+K2-1, *batch) anti-diagonal sums."""
+        K1, K2 = G.shape[0], G.shape[1]
+        d = jnp.zeros((K1 + K2 - 1,) + G.shape[2:], I32)
+        for i in range(K1):
+            d = d.at[i : i + K2].add(G[i])
+        return d
+
+    # ------------------------------------------------------------------
+    # Lazy (REDC-free) product columns + wide contractions.
+    #
+    # The sum-check's triple products sum_n w_n * a_n * b_n previously
+    # paid a full per-element Montgomery REDC inside mont_mul(a, b)
+    # (~half of the ~1000 int32 VPU MACs per element) just to feed a
+    # contraction that reduces once anyway.  Instead: keep a*b as carried
+    # 12-bit product COLUMNS (value a*b*R^2, never reduced), contract
+    # against w on the MXU, and run ONE wide reduction on the tiny
+    # result.  acc_reduce_wide's extra_const folds away the extra R.
+    # ------------------------------------------------------------------
+    def mul_cols_digits(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        """(NL,*s) x (NL,*s) loose -> (2NL+1,*s) near-normalized columns.
+
+        Value is exactly value(a)*value(b) (< 4p^2, factor R^2 when a/b
+        are Montgomery); every column in [0, 2^12 + 32) so its 6-bit hi
+        plane still fits int8 (to6)."""
+        t = self._mul_cols(a, b)        # (43,*s), cols < 2^28.6
+        t = self._parallel_carry(t)     # (44,*s), cols < 2^16.7
+        return self._parallel_carry(t)  # (45,*s), cols < 2^12 + 32
+
+    def acc_reduce_wide(self, cols: jnp.ndarray, extra_const: int = 1) -> jnp.ndarray:
+        """acc_reduce for arbitrarily many non-negative columns.
+
+        Input (C,*batch), each column < 2^30, value < 2^{12(C-NL)} * 2p.
+        Returns value * R^{-1} * extra_const in [0, 2p)."""
+        C = cols.shape[0]
+        k = C - NL
+        v = self._redc_cols(cols, k)
+        return self.mul_const(v, pow(2, B * k, self.p) * extra_const % self.p)
+
+    def lazy_weighted_inner(self, w: jnp.ndarray, U: jnp.ndarray,
+                            extra_const: int = 1) -> jnp.ndarray:
+        """out[l] = (sum_r value(w[:, r]) * value(U[:, l, r])) * R^{-1}
+        * extra_const, on the MXU.
+
+        U: (CU, L, R) non-negative digit columns < 2^13 (mul_cols_digits
+        output); w: (NL, R) loose Montgomery, R <= 4096 (int32-exact
+        accumulation: products < 63*64*R < 2^24).  When U holds a*b
+        columns of Montgomery a, b, pass extra_const = r_inv to cancel
+        the extra R (result = Montgomery form of sum w*a*b)."""
+        R = U.shape[-1]
+        assert R <= 4096
+        CU = U.shape[0]
+        U6 = self.to6(U)              # (2CU, L, R) int8
+        w6 = self.to6(w)              # (2NL, R) int8
+        P = jax.lax.dot_general(
+            U6, w6, (((2,), (1,)), ((), ())),
+            preferred_element_type=I32)   # (2CU, L, 2NL) < 2^24
+        P = jnp.moveaxis(P, 1, 2)         # (2CU, 2NL, L)
+        p0 = P & 4095
+        p1 = P >> 12                       # < 2^12 exactly (P < 2^24)
+        ncols = (2 * CU + 2 * NL - 2) // 2 + 2 + 1
+        cols = self._cols_from_planes(
+            [self._diag_sums_rect(p0), self._diag_sums_rect(p1)], ncols)
+        return self.acc_reduce_wide(cols, extra_const)
+
+    def lazy_weighted_sum(self, w: jnp.ndarray, U: jnp.ndarray,
+                          extra_const: int = 1) -> jnp.ndarray:
+        """(sum_n value(w[:, n]) * value(U[:, n])) * R^{-1} * extra_const.
+
+        Flat twin of lazy_weighted_inner: w (NL, n) loose, U (CU, n)
+        digit columns < 2^13; per-chunk int8 matmuls on the MXU.
+        n <= 2^22 (chunk-count column-magnitude budget)."""
+        n = w.shape[-1]
+        assert n <= 1 << 22
+        CU = U.shape[0]
+        w6 = self.to6(w)
+        U6 = self.to6(U)
+        nch = -(-n // self.MXU_CHUNK)
+        if n < nch * self.MXU_CHUNK:
+            pad = nch * self.MXU_CHUNK - n
+            w6 = jnp.concatenate(
+                [w6, jnp.zeros((2 * NL, pad), jnp.int8)], axis=1)
+            U6 = jnp.concatenate(
+                [U6, jnp.zeros((2 * CU, pad), jnp.int8)], axis=1)
+        g0 = g1 = g2 = jnp.zeros((2 * CU, 2 * NL), I32)
+        for c in range(nch):
+            sl = slice(c * self.MXU_CHUNK, (c + 1) * self.MXU_CHUNK)
+            G = jax.lax.dot_general(
+                U6[:, sl], w6[:, sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=I32)  # < 63*64*2^17 < 2^29
+            g0 = g0 + (G & 4095)
+            g1 = g1 + ((G >> 12) & 4095)
+            g2 = g2 + (G >> 24)
+        ncols = (2 * CU + 2 * NL - 2) // 2 + 3 + 1
+        cols = self._cols_from_planes(
+            [self._diag_sums_rect(g0), self._diag_sums_rect(g1),
+             self._diag_sums_rect(g2)], ncols)
+        return self.acc_reduce_wide(cols, extra_const)
+
+    # ------------------------------------------------------------------
+    # MXU scalar-broadcast Montgomery multiply (full-word REDC).
+    #
+    # Binds a' = lo + r*(hi - lo) are scalar-broadcast mont_muls — a
+    # CONSTANT-operand contraction, so both the product (band matrix of
+    # r's 6-bit planes) and the Montgomery m = T*N' mod R / m*p steps
+    # become int8 matmuls on the MXU; the VPU keeps only exact carry
+    # chains (adds/shifts).  ~25% of the fused outer kernel and ~2/3 of
+    # the fused quad were these binds on the VPU int32-multiply path
+    # (PROFILE.md round 4).
+    # ------------------------------------------------------------------
+    def _band_const(self, v: int, rows: int, lo_bits: int = 0) -> np.ndarray:
+        """int8 band matrix M[c, j] = v6[c - j] of a host constant's
+        6-bit planes (44 planes)."""
+        v6 = np.array([(v >> (6 * i)) & 63 for i in range(2 * NL)], np.int8)
+        ci = np.arange(rows)[:, None] - np.arange(2 * NL)[None, :]
+        ok = (ci >= 0) & (ci < 2 * NL)
+        return np.where(ok, v6[np.clip(ci, 0, 2 * NL - 1)], 0).astype(np.int8)
+
+    @functools.cached_property
+    def _nprime_band4(self) -> np.ndarray:
+        """(44, 4*NL) int8: M[c, q] = n'6[c - e(q)], e(4k+i) = 2k + i —
+        multiplies 22 UNNORMALIZED (< 2^24) columns, split as 4 6-bit
+        planes each, by N' keeping only product planes c < 44 (mod R)."""
+        np6 = np.array([(self.n_prime >> (6 * i)) & 63
+                        for i in range(2 * NL)], np.int8)
+        e = np.array([2 * (q // 4) + (q % 4) for q in range(4 * NL)])
+        ci = np.arange(2 * NL)[:, None] - e[None, :]
+        ok = (ci >= 0) & (ci < 2 * NL)
+        return np.where(ok, np6[np.clip(ci, 0, 2 * NL - 1)], 0).astype(np.int8)
+
+    @functools.cached_property
+    def _p_band(self) -> np.ndarray:
+        """(4NL-1, 2NL) int8 band of the modulus p's 6-bit planes."""
+        return self._band_const(self.p, 4 * NL - 1)
+
+    def mont_mul_scalar_mxu(self, r: jnp.ndarray, X: jnp.ndarray) -> jnp.ndarray:
+        """value(r) * value(X) * R^{-1} mod p, in [0, 2p) — semantics of
+        mont_mul(broadcast(r), X) for a SINGLE loose element r.
+
+        Three int8 band matmuls (product, m = T*N' mod R, m*p) plus two
+        exact carry chains; no per-element schoolbook multiply.
+        """
+        batch = X.shape[1:]
+        Xf = X.reshape(NL, -1)
+        r6 = self.to6(r.reshape(NL, 1))[:, 0]  # (2NL,) int8
+        ci = jnp.arange(4 * NL - 1)[:, None] - jnp.arange(2 * NL)[None, :]
+        ok = (ci >= 0) & (ci < 2 * NL)
+        M1 = jnp.where(ok, r6[jnp.clip(ci, 0, 2 * NL - 1)], jnp.int8(0))
+        X6 = self.to6(Xf)                      # (2NL, n)
+        T6 = jax.lax.dot_general(
+            M1, X6, (((1,), (0,)), ((), ())),
+            preferred_element_type=I32)        # (4NL-1, n) < 44*63*63
+        # 12-bit columns T12[k] = T6[2k] + 64*T6[2k+1]: (2NL, n) < 2^24
+        T12 = T6[0::2].at[: 2 * NL - 1].add(T6[1::2] << 6)
+        # m = (T * N') mod R from the UNNORMALIZED low columns (linear
+        # mod R; only columns < NL contribute since 2^{12k} ≡ 0 for k>=NL)
+        Tl = T12[:NL]                          # (NL, n) < 2^24
+        t4 = jnp.stack(
+            [(Tl >> (6 * i)) & 63 for i in range(4)], axis=1
+        ).reshape(4 * NL, -1).astype(jnp.int8)  # plane 4k+i ~ 2^{6(2k+i)}
+        P6 = jax.lax.dot_general(
+            jnp.asarray(self._nprime_band4), t4, (((1,), (0,)), ((), ())),
+            preferred_element_type=I32)        # (2NL, n) < 88*63*63 < 2^19
+        P12 = P6[0::2] + (P6[1::2] << 6)       # (NL, n) < 2^25
+        carry = jnp.zeros_like(P12[0])
+        m_digits = []
+        for k in range(NL):
+            v = P12[k] + carry
+            m_digits.append(v & MASK)
+            carry = v >> B
+        m6 = self.to6(jnp.stack(m_digits))     # (2NL, n) int8, exact
+        MP6 = jax.lax.dot_general(
+            jnp.asarray(self._p_band), m6, (((1,), (0,)), ((), ())),
+            preferred_element_type=I32)        # (4NL-1, n) < 2^17.3
+        MP12 = MP6[0::2].at[: 2 * NL - 1].add(MP6[1::2] << 6)
+        S = T12 + MP12                         # (2NL, n) < 2^25; ≡ 0 mod R
+        carry = jnp.zeros_like(S[0])
+        outs = []
+        for k in range(2 * NL):
+            v = S[k] + carry
+            if k >= NL:
+                outs.append(v & MASK)
+            carry = v >> B
+        return jnp.stack(outs).reshape((NL,) + batch)
 
     @staticmethod
     def _parallel_carry(t: jnp.ndarray) -> jnp.ndarray:
@@ -474,6 +672,28 @@ class FieldOps:
         v = self._redc_cols(jnp.stack(t), k)
         # v = S * 2^{-12k}; want S * R^{-1} * extra = v * (2^{12k} * extra).
         return self.mul_const(v, pow(2, B * k, self.p) * extra_const % self.p)
+
+
+# ---------------------------------------------------------------------------
+# limb-pair packing: gathers (SpMV, comb-MSM tables) move HALF the planes
+# ---------------------------------------------------------------------------
+
+
+def pack2(z: jnp.ndarray) -> jnp.ndarray:
+    """(NL, *b) normalized NON-NEGATIVE limbs (< 2^12) -> (NL/2, *b)
+    int32 planes with limb 2k in bits [0,12) and limb 2k+1 in [12,24).
+
+    The gather-bound kernels (SpMV z gathers ~11 GB/s on this backend,
+    PROFILE.md) move 11 packed planes instead of 22 — half the traffic
+    for one cheap unpack pass over the gathered values."""
+    return z[0::2] | (z[1::2] << B)
+
+
+def unpack2(v: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of pack2: (NL/2, *b) -> (NL, *b)."""
+    lo = v & MASK
+    hi = v >> B
+    return jnp.stack([lo, hi], axis=1).reshape((NL,) + v.shape[1:])
 
 
 # ---------------------------------------------------------------------------

@@ -342,81 +342,12 @@ class HyraxPCS:
         total = self.dc.add(pts, bl)
         return self.dc.to_affine_host(total)[0]
 
-    def _eval_comb2(self, ck_eval: HyraxCommitmentKey):
-        """Comb tables over the 2-generator set [ck_eval.ck[0], ck_eval.h]
-        used by the IPA's beta commitment."""
-        key = ("eval2", NL * 12)
-        if key not in ck_eval._combs:
-            from ..ec.comb import FixedBaseComb
-
-            base = self.curve.base
-            Qx = jnp.asarray(ints_to_limbs_np(
-                [ck_eval.ck[0][0], ck_eval.h[0]], base, mont=True))
-            Qy = jnp.asarray(ints_to_limbs_np(
-                [ck_eval.ck[0][1], ck_eval.h[1]], base, mont=True))
-            ck_eval._combs[key] = FixedBaseComb(self.dc, Qx, Qy, NL * 12)
-        return ck_eval._combs[key]
-
-    def _prove_fused_jit(self, ck: HyraxCommitmentKey,
-                         ck_eval: HyraxCommitmentKey, R: int, r_len: int):
-        """ONE kernel for the whole Hyrax prove device path: L-bind,
-        comm_LZ and delta comb MSMs (batched as 2 rows of one rows-MSM),
-        their blind terms, the IPA beta commitment over the eval
-        generators, and the Jacobian->affine conversion — the per-piece
-        dispatch chain cost ~8 launches x ~40 ms of tunnel latency, the
-        math itself ~10 ms (round-3 profile: pcs_prove 360 ms warm)."""
-        fs, dc = self.fs, self.dc
-        fb = dc.fb
-        comb = ck.comb(NL * 12)
-        combh = ck.comb_h()
-        combe = self._eval_comb2(ck_eval)
-        rowsk = comb._rows_kernel(2, False)
-        hk = combh._rows_kernel(2, False)
-        evk = combe._rows_kernel(1, False)
-
-        def kernel(Z, Lm, blinds2, d_canon, ev2,
-                   Tx, Ty, Tz, Hx, Hy, Hz, Ex, Ey, Ez):
-            # bind: LZ[j] = sum_r L[r] * Z[r, j], one wide REDC per column
-            t = fs._mul_cols(Lm[:, :, None], Z)
-            t = fs._parallel_carry(t)
-            nr = R
-            while nr > 1:
-                k = min(nr, 64)
-                t = t.reshape(t.shape[0], nr // k, k, r_len).sum(axis=2)
-                t = fs._parallel_carry(t)
-                nr //= k
-            LZ = fs.from_mont(fs.acc_reduce(t[:, 0, :]))  # canonical
-            scal2 = jnp.stack([LZ, d_canon], axis=1)  # (NL, 2, C)
-            pts = rowsk(scal2, Tx, Ty, Tz)
-            bl = hk(blinds2[:, :, None], Hx, Hy, Hz)
-            P2 = dc.add(pts, bl)
-            be = evk(ev2[:, None, :], Ex, Ey, Ez)
-            allP = tuple(jnp.concatenate([a, b[:, None] if b.ndim == 1
-                                          else b], axis=1)
-                         for a, b in zip(P2, be))
-            X, Y, Zc = allP
-            zinv = fb.inv(Zc)
-            zi2 = fb.mont_sqr(zinv)
-            xa = fb.from_mont(fb.mont_mul(X, zi2))
-            ya = fb.from_mont(fb.mont_mul(Y, fb.mont_mul(zi2, zinv)))
-            zflag = jnp.all(fb.canonical(Zc) == 0, axis=0)
-            return xa, ya, zflag, LZ
-
-        if not hasattr(self, "_fused_prove_kernels"):
-            self._fused_prove_kernels = {}
-        return self._fused_prove_kernels.setdefault(
-            (id(ck), id(ck_eval), R, r_len),
-            cached_jit(kernel, fastkey=("hyrax_prove_fused", fs.spec.name,
-                                        self.curve.name, R, r_len)))
-
     def prove(self, ck: HyraxCommitmentKey, ck_eval: HyraxCommitmentKey,
               transcript: Transcript, comm: HyraxCommitment,
               poly_mont: jnp.ndarray, blind: HyraxBlind, point: list[int],
               comm_eval: HyraxCommitment, blind_eval: HyraxBlind,
               rng=None) -> HyraxEvaluationArgument:
         """Reference flow at hyrax_pc.rs:387-478."""
-        import os as _os
-
         scalar = self.curve.scalar
         p = scalar.modulus
         n = poly_mont.shape[1]
@@ -428,56 +359,6 @@ class HyraxPCS:
         num_cols = ck.num_cols
         num_rows = _div_ceil(n, num_cols)
         num_vars_rows = num_rows.bit_length() - 1
-
-        # SPARTAN2_FUSED_PCS=1 (opt-in): the single-kernel prove path.
-        # Measured on the tunneled TPU it saves the ~8-launch dispatch
-        # chain but the inlined comb-MSM executes ~100x slower than the
-        # standalone rows_msm kernel (XLA scheduling pathology, under
-        # investigation) — keep the multi-dispatch path the default.
-        if (num_vars_rows > 0 and num_rows * num_cols == n
-                and _os.environ.get("SPARTAN2_FUSED_PCS", "0") == "1"):
-            from ..utils.tracing import span as _span
-
-            L = eq_evals_host(scalar, point[:num_vars_rows])
-            Rv = eq_evals_host(scalar, point[num_vars_rows:])
-            rand = rng if rng is not None else secrets.randbelow
-            d_vec = [rand(p) for _ in Rv]
-            r_delta = rand(p)
-            r_beta = rand(p)
-            r_LZ = sum(l * b for l, b in zip(L, blind.blind)) % p
-            ip_bd = sum(x * y for x, y in zip(Rv, d_vec)) % p
-            with _span("pcs_fused"):
-                kern = self._prove_fused_jit(ck, ck_eval, num_rows, num_cols)
-                Z = poly_mont.reshape(NL, num_rows, num_cols)
-                Lm = jnp.asarray(ints_to_limbs_np(L, scalar, mont=True))
-                blinds2 = jnp.asarray(ints_to_limbs_np(
-                    [r_LZ, r_delta], scalar, mont=False))
-                d_canon = jnp.asarray(ints_to_limbs_np(
-                    d_vec, scalar, mont=False))
-                ev2 = jnp.asarray(ints_to_limbs_np(
-                    [ip_bd, r_beta], scalar, mont=False))
-                comb, combh = ck.comb(NL * 12), ck.comb_h()
-                combe = self._eval_comb2(ck_eval)
-                xa, ya, zf, LZ_arr = jax.device_get(kern(
-                    Z, Lm, blinds2, d_canon, ev2,
-                    *comb._tab, *combh._tab, *combe._tab))
-            xs = limbs_to_ints(xa, self.curve.base, mont=False)
-            ys = limbs_to_ints(ya, self.curve.base, mont=False)
-            pts = [None if zf[i] else (xs[i], ys[i]) for i in range(3)]
-            comm_LZ, delta, beta = pts
-            LZ = limbs_to_ints(LZ_arr, scalar, mont=False)
-
-            self._absorb_ipa_instance(transcript, comm_LZ, comm_eval.comm[0])
-            transcript.absorb_bytes(
-                b"delta", self.curve.to_transcript_bytes(delta))
-            transcript.absorb_bytes(
-                b"beta", self.curve.to_transcript_bytes(beta))
-            r = transcript.squeeze(b"r")
-            z_vec = [(r * a + d) % p for a, d in zip(LZ, d_vec)]
-            z_delta = (r * r_LZ + r_delta) % p
-            z_beta = (r * blind_eval.blind[0] + r_beta) % p
-            return HyraxEvaluationArgument(
-                IpaProof(delta, beta, z_vec, z_delta, z_beta))
 
         pre_delta = None
         if num_vars_rows == 0:
@@ -494,29 +375,34 @@ class HyraxPCS:
                 LZ_dev = self._bind_rows_device(poly_mont, L, len(Rv))
             r_LZ = sum(l * b for l, b in zip(L, blind.blind)) % p
             with _span("hyrax_msm_LZ"):
-                # dispatch the comm_LZ MSM, then queue the IPA's delta
-                # MSM behind it (independent work) BEFORE any pull, so
-                # both execute while the host waits once — previously
-                # delta was dispatched only after the comm_LZ affine
-                # pull, serializing ~150 ms of device work
-                pts = ck.comb(NL * 12).rows_msm(LZ_dev[:, None, :])
-                bl = ck.comb_h().rows_msm(jnp.asarray(ints_to_limbs_np(
-                    [r_LZ], scalar, mont=False))[:, :, None])
-                total = self.dc.add(pts, bl)
-                rand = rng if rng is not None else secrets.randbelow
-                d_vec = [rand(p) for _ in Rv]
-                r_delta = rand(p)
-                dv = jnp.asarray(ints_to_limbs_np(d_vec, scalar, mont=False))
-                dpts = ck.comb(NL * 12).rows_msm(dv[:, None, :])
-                dbl_ = ck.comb_h().rows_msm(jnp.asarray(ints_to_limbs_np(
-                    [r_delta], scalar, mont=False))[:, :, None])
-                delta_total = self.dc.add(dpts, dbl_)
-                LZ = limbs_to_ints(np.asarray(LZ_dev), scalar, mont=False)
-                affs = self.dc.to_affine_host(tuple(
-                    jnp.concatenate([a, b], axis=1)
-                    for a, b in zip(total, delta_total)))
-                comm_LZ = affs[0]
-                pre_delta = (affs[1], d_vec, r_delta)
+                if len(Rv) == ck.num_cols:
+                    # ONE batched rows-MSM for [LZ, d_vec] (two rows of
+                    # the same comb kernel); blinds ride the HOST native
+                    # C scalar_mul (+ host point add) — the device
+                    # comb_h dispatches over single-lane shapes were
+                    # pure overhead.  d_vec rides only when its width
+                    # matches the comb key width (otherwise _ipa_prove's
+                    # guarded host fallback runs).
+                    rand = rng if rng is not None else secrets.randbelow
+                    d_vec = [rand(p) for _ in Rv]
+                    r_delta = rand(p)
+                    dv = jnp.asarray(
+                        ints_to_limbs_np(d_vec, scalar, mont=False))
+                    pts2 = ck.comb(NL * 12).rows_msm(
+                        jnp.stack([LZ_dev, dv], axis=1))
+                    LZ = limbs_to_ints(np.asarray(LZ_dev), scalar, mont=False)
+                    affs = self.dc.to_affine_host(pts2)
+                    comm_LZ = self.curve.add(
+                        affs[0], self.curve.scalar_mul(r_LZ, ck.h))
+                    delta = self.curve.add(
+                        affs[1], self.curve.scalar_mul(r_delta, ck.h))
+                    pre_delta = (delta, d_vec, r_delta)
+                else:
+                    pts = ck.comb(NL * 12).rows_msm(LZ_dev[:, None, :])
+                    LZ = limbs_to_ints(np.asarray(LZ_dev), scalar, mont=False)
+                    comm_LZ = self.curve.add(
+                        self.dc.to_affine_host(pts)[0],
+                        self.curve.scalar_mul(r_LZ, ck.h))
 
         ipa = self._ipa_prove(
             ck, ck_eval, comm_LZ, Rv, comm_eval.comm[0], LZ, r_LZ,

@@ -223,8 +223,13 @@ class MultiRoundState:
         seg = self.w[start_p : start_p + n_p]
         # the host C Pippenger (native/ec_host.c) runs a 2048-point row
         # commit in ~45 ms vs ~150 ms+ for a device dispatch+pull; the
-        # per-round VC commits sit on the prove critical path
-        if len(seg) <= 4096:
+        # per-round VC commits sit on the prove critical path.  Without
+        # the native library the pure-python Pippenger costs ~0.3-0.5 s
+        # per 2048-point commit, so keep the old 256 cutoff there.
+        from ..ec.curve import _native_ec
+
+        host_cutoff = 4096 if _native_ec() is not None else 256
+        if len(seg) <= host_cutoff:
             comm = pcs.commit_host(ck, seg, r_w)
         else:
             vm = jnp.asarray(ints_to_limbs_np(seg, s.field, mont=True))

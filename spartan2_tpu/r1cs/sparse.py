@@ -373,10 +373,17 @@ def _spmv_accumulate(prog, take, mont_mul):
 
 
 def spmv_apply(ops: FieldOps, prog, z: jnp.ndarray) -> jnp.ndarray:
-    """(NL, num_cols) -> (NL, num_rows) over a ``DeviceSpMV.prog``."""
+    """(NL, num_cols) -> (NL, num_rows) over a ``DeviceSpMV.prog``.
+
+    z is packed two limbs per int32 before the gathers (pack2): the
+    gathers are the SpMV floor (~11 GB/s of index traffic, PROFILE.md
+    round 4), so moving 11 planes instead of 22 halves it."""
+    from ..field.jnp_ops import pack2, unpack2
+
+    zp = pack2(z)
     acc = _spmv_accumulate(
         prog,
-        lambda idx: jnp.take(z, idx, axis=1),
+        lambda idx: unpack2(jnp.take(zp, idx, axis=1)),
         lambda vg, gv: ops.mont_mul(vg, gv),
     )
     return _reduce_lazy(ops, acc)
@@ -384,9 +391,12 @@ def spmv_apply(ops: FieldOps, prog, z: jnp.ndarray) -> jnp.ndarray:
 
 def spmv_apply_batched(ops: FieldOps, prog, z: jnp.ndarray) -> jnp.ndarray:
     """(NL, I, num_cols) -> (NL, I, num_rows)."""
+    from ..field.jnp_ops import pack2, unpack2
+
+    zp = pack2(z)
     acc = _spmv_accumulate(
         prog,
-        lambda idx: jnp.take(z, idx, axis=2),
+        lambda idx: unpack2(jnp.take(zp, idx, axis=2)),
         lambda vg, gv: ops.mont_mul(vg, gv[:, None]),
     )
     return _reduce_lazy(ops, acc)

@@ -51,6 +51,7 @@ from ..snark.spartan import (
     instance_witness_begin,
     instance_witness_finish,
     precommitted_witness,
+    precommitted_witness_batch,
     r1cs_instance_and_witness,
     shared_witness,
 )
@@ -58,6 +59,7 @@ from ..snark.spartan_relaxed import RelaxedR1CSSpartanProof, _bind_matrix_row_va
 from ..snark.spartan_zk import rerandomize_in_place
 from ..snark.zk_circuits import NeutronNovaVerifierCircuit
 from ..utils.digest import vk_digest
+from ..utils.tracing import span
 
 
 def _log2(n: int) -> int:
@@ -559,12 +561,12 @@ class NeutronNovaZkSNARK:
         engine = pk.engine
         ps = shared_witness(engine, pk.S_step, pk.ck, step_circuits[0],
                             is_small, rng)
-        ps_step = []
-        for circ in step_circuits:
-            ps_i = ps.clone_after_shared()
-            precommitted_witness(engine, ps_i, pk.S_step, pk.ck, circ,
-                                 is_small, rng)
-            ps_step.append(ps_i)
+        ps_step = [ps.clone_after_shared() for _ in step_circuits]
+        # synthesis per step (host), but ONE batched rows-MSM for all N
+        # precommitted commits (reference: rayon par_iter,
+        # neutronnova_zk.rs:1477-1603)
+        precommitted_witness_batch(engine, ps_step, pk.S_step, pk.ck,
+                                   step_circuits, is_small, rng)
         precommitted_witness(engine, ps, pk.S_core, pk.ck, core_circuit,
                              is_small, rng)
         return NeutronNovaPrep(ps_step=ps_step, ps_core=ps)
@@ -582,6 +584,7 @@ class NeutronNovaZkSNARK:
         pcs = engine.pcs
         n_steps = len(step_circuits)
 
+        _sp_rerand = span("nn_rerandomize"); _sp_rerand.__enter__()
         rerandomize_in_place(engine, prep.ps_core, pk.S_core, pk.ck, rng)
         comm_W_shared = prep.ps_core.comm_W_shared
         r_W_shared = prep.ps_core.r_W_shared
@@ -596,10 +599,12 @@ class NeutronNovaZkSNARK:
                     new_blind)
                 ps_i.r_W_precommitted = new_blind
 
+        _sp_rerand.__exit__(None, None, None)
         # per-instance transcripts (neutronnova_zk.rs:1662-1722); the
         # N per-step rest commits run as ONE batched rows-MSM + ONE
         # blind MSM + ONE affine pull (commit_pending_batch) instead of
         # N serial kernel invocations
+        _sp_inst = span("nn_instances", n=n_steps); _sp_inst.__enter__()
         step_instances, step_witnesses, step_W_dev = [], [], []
         pendings, step_trs = [], []
         for i, (ps_i, circ) in enumerate(zip(prep.ps_step, step_circuits)):
@@ -626,6 +631,7 @@ class NeutronNovaZkSNARK:
             tr, rng)
         core_witness = R1CSWitnessHost(W=core_W.W_host, r_W=core_W.r_W)
 
+        _sp_inst.__exit__(None, None, None)
         step_regular = [U.to_regular(pcs) for U in step_instances]
         step_regular = [R1CSInstance(comm_W=c, X=x) for c, x in step_regular]
         cc, cx = core_instance.to_regular(pcs)
@@ -679,12 +685,13 @@ class NeutronNovaZkSNARK:
         else:
             # ---- device NIFS + batched outer sum-check ----
             ops = engine.fs
-            (E_dev, AzF, BzF, CzF, W_fold_dev, r_W_folded, folded_U, t_out,
-             r_bs) = NeutronNovaNIFS.prove_device(
+            with span("nn_nifs_device"):
+             (E_dev, AzF, BzF, CzF, W_fold_dev, r_W_folded, folded_U, t_out,
+              r_bs) = NeutronNovaNIFS.prove_device(
                 engine, pk.S_step, step_regular, step_witnesses, step_W_dev,
-                vc, vc_state, pk.vc_ck, transcript, rng, ck=pk.ck,
-                cache=(prep.cache if pk.S_step.num_challenges == 0
-                       else None))
+                 vc, vc_state, pk.vc_ck, transcript, rng, ck=pk.ck,
+                 cache=(prep.cache if pk.S_step.num_challenges == 0
+                        else None))
             folded_W = R1CSWitnessHost(W=None, r_W=r_W_folded)
 
             z_core_dev = jnp.concatenate([
@@ -693,7 +700,9 @@ class NeutronNovaZkSNARK:
                     [1] + core_instance.public_values
                     + core_instance.challenges, field, mont=True)),
             ], axis=1)
-            Az_c, Bz_c, Cz_c = pk.S_core.multiply_vec_device(z_core_dev)
+            with span("nn_core_matvec") as _s:
+                Az_c, Bz_c, Cz_c = pk.S_core.multiply_vec_device(z_core_dev)
+                _s.sync(Az_c)
 
             def outer_challenge_dev(i, unis):
                 vc.outer_polys_step[i] = list(unis[0].coeffs)
@@ -710,8 +719,9 @@ class NeutronNovaZkSNARK:
                 cubic = get_sharded_zk_cubic(ops, mesh)
             else:
                 cubic = get_zk_cubic(ops)
-            r_x, finals_outer, tau_rx = cubic.prove(
-                field, [t_out, 0], E_dev, stack3, outer_challenge_dev)
+            with span("nn_outer_zk_sumcheck"):
+                r_x, finals_outer, tau_rx = cubic.prove(
+                    field, [t_out, 0], E_dev, stack3, outer_challenge_dev)
             claims_s, claims_c = finals_outer
 
         vc.claim_Az_step, vc.claim_Bz_step, vc.claim_Cz_step = claims_s
@@ -774,10 +784,12 @@ class NeutronNovaZkSNARK:
                 return jnp.concatenate(
                     [x, jnp.zeros((NL, w), jnp.int32)], axis=1)
 
-            ABC_s = pad_cols(
-                pk.S_step.bind_and_prepare_poly_ABC_device(rx_stack, r_mont))
-            ABC_c = pad_cols(
-                pk.S_core.bind_and_prepare_poly_ABC_device(rx_stack, r_mont))
+            with span("nn_prepare_poly_ABC") as _s:
+                ABC_s = pad_cols(
+                    pk.S_step.bind_and_prepare_poly_ABC_device(rx_stack, r_mont))
+                ABC_c = pad_cols(
+                    pk.S_core.bind_and_prepare_poly_ABC_device(rx_stack, r_mont))
+                _s.sync(ABC_s, ABC_c)
 
             def zdev(W_plane, X):
                 tail = jnp.asarray(
@@ -797,6 +809,7 @@ class NeutronNovaZkSNARK:
             # beyond num_vars + ne; reference zero-skip at
             # neutronnova_zk.rs:1889-1920), then the generic engine on
             # the bound num_vars-wide halves
+            _sp_inner = span("nn_inner_zk_sumcheck"); _sp_inner.__enter__()
             round0 = get_zk_inner_round0(ops)
             r0_evals = round0.evals(field, abc_k, z_k, num_vars, ne)
             unis0 = []
@@ -827,6 +840,7 @@ class NeutronNovaZkSNARK:
             r_y_rest, finals_inner = quad.prove(
                 field, claims_after0, (abc_k, z_k), num_rounds_y - 1,
                 inner_challenge_dev)
+            _sp_inner.__exit__(None, None, None)
             r_y = [r0] + list(r_y_rest)
             eval_Z_step = finals_inner[0][1]
             eval_Z_core = finals_inner[1][1]
@@ -857,6 +871,7 @@ class NeutronNovaZkSNARK:
         U_verifier, W_verifier = vc_state.finalize(pcs)
         U_verifier_regular = U_verifier.to_regular_instance(pcs)
 
+        _sp_vc = span("nn_vc_fold_relaxed"); _sp_vc.__enter__()
         random_U, random_W = pk.vc_shape_regular.sample_random_instance_witness(
             pcs, pk.vc_ck, rng=rng)
         nifs, folded_W_vc, folded_u, folded_X = NovaNIFS.prove(
@@ -866,6 +881,7 @@ class NeutronNovaZkSNARK:
             pcs, pk.vc_shape_regular, pk.vc_ck, folded_u, folded_X,
             folded_W_vc, transcript)
 
+        _sp_vc.__exit__(None, None, None)
         comm_eval_W_step = U_verifier.comm_w_per_round[eval_w_step_round]
         blind_eval_W_step = vc_state.r_w_per_round[eval_w_step_round]
         comm_eval_W_core = U_verifier.comm_w_per_round[eval_w_step_round + 1]
@@ -891,8 +907,10 @@ class NeutronNovaZkSNARK:
             cb = jnp.broadcast_to(c_dev[:, None], W_fold_dev.shape)
             W_mont = engine.fs.add(W_fold_dev,
                                    engine.fs.mont_mul(cb, core_W.W))
-        eval_arg = pcs.prove(pk.ck, pk.vc_ck, transcript, comm, W_mont, blind,
-                             r_y[1:], comm_eval, blind_eval, rng=rng)
+        with span("nn_pcs_prove"):
+            eval_arg = pcs.prove(pk.ck, pk.vc_ck, transcript, comm, W_mont,
+                                 blind, r_y[1:], comm_eval, blind_eval,
+                                 rng=rng)
 
         # strip the shared commitment (same across all instances)
         import copy as _copy

@@ -189,6 +189,41 @@ def precommitted_witness(engine: Engine, ps: PrecommittedState,
     ps.precommitted = precommitted
 
 
+def precommitted_witness_batch(engine: Engine, ps_list: list,
+                               S: SplitR1CSShape, ck, circuits,
+                               is_small: bool, rng=None) -> None:
+    """Batched precommitted_witness over many states: synthesis stays
+    per-circuit (host python), but the N segment commits run as ONE
+    batched raw rows-MSM + ONE blind MSM + ONE affine pull
+    (the reference preps per-step states under rayon,
+    neutronnova_zk.rs:1477-1603)."""
+    if S.num_precommitted_unpadded == 0:
+        for ps, circ in zip(ps_list, circuits):
+            ps.precommitted = circ.precommitted(ps.cs, ps.shared)
+        return
+    segs = []
+    for ps, circ in zip(ps_list, circuits):
+        precommitted = circ.precommitted(ps.cs, ps.shared)
+        aux = ps.cs.aux_assignment
+        lo = S.num_shared_unpadded
+        if len(aux) - lo < S.num_precommitted_unpadded:
+            raise IncorrectWitnessError(
+                "precommitted variables not allocated correctly")
+        ps.W[S.num_shared : S.num_shared + S.num_precommitted_unpadded] = aux[
+            lo : lo + S.num_precommitted_unpadded
+        ]
+        ps.precommitted = precommitted
+        segs.append(_upload_mont(
+            engine, ps.W[S.num_shared : S.num_shared + S.num_precommitted]))
+    pcs = engine.pcs
+    blinds = [pcs.blind(ck, S.num_precommitted, rng=rng) for _ in ps_list]
+    raws = pcs.commit_raw_batch(ck, segs, is_small)
+    comms = pcs.commit_from_raw_batch(ck, raws, blinds)
+    for ps, blind, comm in zip(ps_list, blinds, comms):
+        ps.comm_W_precommitted = comm
+        ps.r_W_precommitted = blind
+
+
 @dataclass
 class PendingInstance:
     """Instance synthesis split at the rest-commit boundary so batch
@@ -475,13 +510,20 @@ class SpartanSNARK:
                     rx_stack = jnp.stack(r_x_dev, axis=1)
                     outer_coeff_cat = jnp.concatenate(coeffs_outer, axis=1)
             elif fused_on and fused_cubic_ok(engine.scalar, taus):
-                # whole-sum-check single dispatch (sumcheck/fused.py):
-                # per-round kernels each cost ~40ms of tunnel launch
-                # latency; the fused kernel runs all rounds in one
-                cbuf, rx_stack, finals_outer, _ = (
-                    get_fused_cubic_eq(ops).prove(
+                # whole-sum-check dispatch (sumcheck/fused.py).  When the
+                # constraint count sits between powers of two, peel the
+                # zero-structured round 0 so the remaining rounds run at
+                # HALF the fused grid (reference hi_eff zero tracking,
+                # multilinear.rs:36-43 / r1cs/mod.rs:1250-1270).
+                fp = get_fused_cubic_eq(ops)
+                if fp.peel_ok(engine.scalar, taus, S.num_cons_unpadded):
+                    cbuf, rx_stack, finals_outer, _ = fp.prove_peeled(
                         td, Az, Bz, Cz, zero, taus, engine.scalar,
-                        zero_check=True))
+                        S.num_cons_unpadded, zero_check=True)
+                else:
+                    cbuf, rx_stack, finals_outer, _ = fp.prove(
+                        td, Az, Bz, Cz, zero, taus, engine.scalar,
+                        zero_check=True)
                 outer_coeff_cat = cbuf.reshape(NL, 4 * num_rounds_x)
             else:
                 # Gruen/BDDT eq-split: no 2^m eq table, 2 sums per round
@@ -520,9 +562,13 @@ class SpartanSNARK:
             np.frombuffer(transcript.state, np.uint8)), round=transcript.round)
         inner0 = get_inner_round0(ops)
         claim_dev = _upload_mont(engine, [claim_inner])[:, 0]
+        # nonzero prefix of W and of poly_ABC's variable columns: segment
+        # padding zeroes everything past the rest segment's unpadded end
+        w_eff = S.num_shared + S.num_precommitted + S.num_rest_unpadded
         with span("inner_round0") as sp:
             abc_b, z_b, claim_dev, r0_dev, coeffs_r0 = inner0.run(
-                td, poly_ABC, W.W, tail, claim_dev, num_vars, num_extra
+                td, poly_ABC, W.W, tail, claim_dev, num_vars, num_extra,
+                w_eff
             )
             sp.sync(abc_b, z_b)
         prover_quad = get_quad_prover(ops)

@@ -619,20 +619,24 @@ class SpartanInnerRound0:
     def __init__(self, ops: FieldOps):
         self.ops = ops
 
+    # static w_eff (nonzero prefix of W/abc) rounds into this many
+    # buckets so distinct circuits share kernels
+    EFF_BUCKETS = 32
+
     @functools.lru_cache(maxsize=None)
-    def _step(self, num_vars: int, num_extra: int):
+    def _step(self, num_vars: int, num_extra: int, w_eff: int, mxu: bool):
         ops = self.ops
 
         def step(abc, W, tail, claim, tstate, t_round):
-            import os as _os
-
-            sp = (ops.sum_products_mxu
-                  if _os.environ.get("SPARTAN2_MXU", "1") != "0"
-                  and num_vars <= 1 << 21 else ops.sum_products)
+            sp = (ops.sum_products_mxu if mxu and w_eff <= 1 << 21
+                  else ops.sum_products)
             abc_lo = abc[:, :num_vars]
             a_l, a_h = abc[:, :num_extra], abc[:, num_vars:]
             z_l, z_h = W[:, :num_extra], tail
-            eval0 = sp(abc_lo, W)
+            # W (and abc's variable columns) are zero at indices
+            # >= w_eff (segment padding): slice the sum statically
+            # (reference lo_eff/hi_eff, multilinear.rs:36-43)
+            eval0 = sp(abc_lo[:, :w_eff], W[:, :w_eff])
             corr_low = ops.sum_products(a_l, z_l)
             corr_cross = ops.sum_products(ops.sub(a_h, a_l), ops.sub(z_h, z_l))
             t_inf = ops.add(ops.sub(eval0, corr_low), corr_cross)
@@ -651,24 +655,40 @@ class SpartanInnerRound0:
             one = ops.const(ops.spec.r_mod, ())
             one_minus = ops.sub(one, r0)
             rb = jnp.broadcast_to(r0[:, None], (NL, num_extra))
-            omb = jnp.broadcast_to(one_minus[:, None], (NL, num_vars - num_extra))
             abc_head = ops.add(a_l, ops.mont_mul(rb, ops.sub(a_h, a_l)))
             z_head = ops.add(z_l, ops.mont_mul(rb, ops.sub(z_h, z_l)))
-            abc_tail = ops.mont_mul(omb, abc_lo[:, num_extra:])
-            z_tail = ops.mont_mul(omb, W[:, num_extra:])
-            abc_new = jnp.concatenate([abc_head, abc_tail], axis=1)
-            z_new = jnp.concatenate([z_head, z_tail], axis=1)
+            if mxu:
+                # scalar-broadcast Montgomery multiply on the MXU
+                abc_tail = ops.mont_mul_scalar_mxu(
+                    one_minus, abc_lo[:, num_extra:w_eff])
+                z_tail = ops.mont_mul_scalar_mxu(
+                    one_minus, W[:, num_extra:w_eff])
+            else:
+                omb = jnp.broadcast_to(one_minus[:, None],
+                                       (NL, w_eff - num_extra))
+                abc_tail = ops.mont_mul(omb, abc_lo[:, num_extra:w_eff])
+                z_tail = ops.mont_mul(omb, W[:, num_extra:w_eff])
+            ztail = jnp.zeros((NL, num_vars - w_eff), jnp.int32)
+            abc_new = jnp.concatenate([abc_head, abc_tail, ztail], axis=1)
+            z_new = jnp.concatenate([z_head, z_tail, ztail], axis=1)
             return abc_new, z_new, new_claim, r0, coeffs, td.state
 
-        import os as _os
-
         return cached_jit(step, fastkey=(
-            "sc_inner0", ops.spec.name, num_vars, num_extra,
-            _os.environ.get("SPARTAN2_MXU", "1") != "0"))
+            "sc_inner0", ops.spec.name, num_vars, num_extra, w_eff, mxu))
 
     def run(self, td: DeviceTranscript, abc, W, tail, claim,
-            num_vars: int, num_extra: int):
-        step = self._step(num_vars, num_extra)
+            num_vars: int, num_extra: int, w_eff: int | None = None):
+        """``w_eff``: static bound on the nonzero prefix of W and of
+        abc's variable columns (both are zero at [w_eff, num_vars) by
+        split-shape padding); defaults to num_vars (no structure)."""
+        import os as _os
+
+        if w_eff is None or not (num_extra <= w_eff <= num_vars):
+            w_eff = num_vars
+        bucket = max(256, num_vars // self.EFF_BUCKETS)
+        w_eff = min(num_vars, -(-w_eff // bucket) * bucket)
+        mxu = _os.environ.get("SPARTAN2_MXU", "1") != "0"
+        step = self._step(num_vars, num_extra, w_eff, mxu)
         abc, z, claim, r0, coeffs, tstate = step(abc, W, tail, claim,
                                                  td.state,
                                                  round_dev(int(td.round)))
