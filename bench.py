@@ -17,6 +17,9 @@ Env knobs:
   BENCH_ENGINE     engine name (default P256HyraxEngine — the stand-in
                    for the reference's T256HyraxEngine bench engine,
                    provider/engines.py)
+  BENCH_ITERS      timed prove iterations (default 3; prewarm.py uses 1
+                   to compile-and-cache every kernel with minimum device
+                   time)
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 ``vs_baseline``: the reference publishes no absolute numbers
@@ -55,7 +58,7 @@ def bench_sumcheck():
 
     run()  # warm-up: compiles every round size
     t0 = time.time()
-    iters = 3
+    iters = int(os.environ.get("BENCH_ITERS", "3"))
     for _ in range(iters):
         run()
     dt = (time.time() - t0) / iters
@@ -101,7 +104,7 @@ def bench_sha256_prove():
 
     proof_bytes = len(spartan_proof_to_bytes(proof, engine))
 
-    iters = 3
+    iters = int(os.environ.get("BENCH_ITERS", "3"))
     t0 = time.time()
     for i in range(iters):
         proof, prep = SpartanSNARK.prove(pk, circuit, prep, is_small=True,

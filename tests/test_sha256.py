@@ -107,3 +107,38 @@ def test_sha256_neutronnova_end_to_end():
     proof, _ = NeutronNovaZkSNARK.prove(pk, step_circuits, core, prep,
                                         is_small=True, rng=det(2))
     NeutronNovaZkSNARK.verify(proof, vk, n_steps)
+
+
+@pytest.mark.skipif(not os.environ.get("SPARTAN2_RUN_SLOW"),
+                    reason="slow: NeutronNova 16-step reference shape "
+                           "(set SPARTAN2_RUN_SLOW=1)")
+def test_sha256_neutronnova_16step_reference_shape():
+    """The reference's FULL NN bench shape: 16 one-block SHA-256 step
+    circuits folded + core (benches/sha256_neutronnova.rs:37-45,
+    neutronnova_zk.rs:2479-2501 sweeps {2,7,32,64}).  Uses the bench
+    engine (P256) so warm bench kernels are reused; prove + verify +
+    serde round-trip are all asserted, not just completion."""
+    import random
+
+    from spartan2_tpu.provider.engines import get_engine
+    from spartan2_tpu.snark.neutronnova import NeutronNovaZkSNARK
+    from spartan2_tpu.utils.serde import (neutronnova_proof_from_bytes,
+                                          neutronnova_proof_to_bytes)
+
+    det = lambda seed: (lambda q, r=random.Random(seed).randrange: r(q))
+    engine = get_engine("P256HyraxEngine")
+    n_steps = 16
+    step_circuits = [Sha256Circuit(bytes([i] * 55)) for i in range(n_steps)]
+    core = Sha256Circuit(bytes(55))
+    pk, vk = NeutronNovaZkSNARK.setup(engine, step_circuits[0], core, n_steps,
+                                      width=2048)
+    prep = NeutronNovaZkSNARK.prep_prove(pk, step_circuits, core,
+                                         is_small=True, rng=det(1))
+    proof, _ = NeutronNovaZkSNARK.prove(pk, step_circuits, core, prep,
+                                        is_small=True, rng=det(2))
+    pv_steps, pv_core = NeutronNovaZkSNARK.verify(proof, vk, n_steps)
+    assert pv_steps == [c.public_values() for c in step_circuits]
+    assert pv_core == core.public_values()
+    blob = neutronnova_proof_to_bytes(proof, engine)
+    rt = neutronnova_proof_from_bytes(blob, engine)
+    assert neutronnova_proof_to_bytes(rt, engine) == blob
